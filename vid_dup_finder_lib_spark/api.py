@@ -1,0 +1,143 @@
+"""Top-level search API — the analog of the reference library's public
+entry points (``vid_dup_finder_lib/src/lib.rs:133`` ``search`` and
+``video_dup_finder.rs:19-46`` ``search_with_references``).
+
+The plan each call builds (declaratively; Catalyst chooses physical ops):
+
+    docs -> signatures (Arrow UDF stage, no shuffle)
+         -> LSH band explode + self-join (shuffle on band key)
+         -> exact verify (shuffle on id for the two signature joins)
+         -> edges -> iterative CC -> groups
+
+``tolerance`` has the reference's exact meaning: integer radius
+``floor(t * 1000)`` on the token-Hamming distance (definitions.rs:40).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vid_dup_finder_lib_spark.config import DEFAULT_CONFIG, SigConfig
+from vid_dup_finder_lib_spark.operators.grouping import cc_groups, matchset_groups
+from vid_dup_finder_lib_spark.operators.lsh import candidate_pairs, band_keys
+from vid_dup_finder_lib_spark.operators.signatures import build_signatures
+from vid_dup_finder_lib_spark.operators.verify import (
+    attach_signatures,
+    ref_length_band,
+    tolerance_predicate,
+    verified_edges,
+    with_distances,
+)
+
+
+def _materialize(df: DataFrame, enabled: bool) -> DataFrame:
+    """Stage-boundary materialization.
+
+    Every stage output is consumed by more than one downstream operator
+    (LSH keys feed both bucket-size stats and the self-join; edges feed CC
+    and the greedy pass), so without a cut Spark re-executes the Arrow UDF
+    pipeline once per consumer.  ``localCheckpoint`` is the in-session form;
+    plans/checkpoint.py persists the same boundaries to tables for resumable
+    runs (the reference's save-every-2000 cache analog, base_fs_cache.rs).
+    """
+    return df.localCheckpoint(eager=True) if enabled else df
+
+
+def find_edges(
+    docs: DataFrame,
+    tolerance: float,
+    cfg: SigConfig = DEFAULT_CONFIG,
+    id_col: str = "url",
+    text_col: str = "text",
+    signatures: DataFrame | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """All verified near-dup pairs at the tolerance (the M2 minimum slice)."""
+    sigs = signatures if signatures is not None else build_signatures(docs, cfg, id_col, text_col)
+    sigs = _materialize(sigs, materialize and signatures is None)
+    pairs, _quarantined = candidate_pairs(sigs, cfg)
+    pairs = _materialize(pairs, materialize)
+    return _materialize(verified_edges(pairs, sigs, cfg, tolerance=tolerance), materialize)
+
+
+def search(
+    docs: DataFrame,
+    tolerance: float | None = None,
+    cfg: SigConfig = DEFAULT_CONFIG,
+    grouping: str = "matchset",
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Self-search: groups of near-duplicates.
+
+    grouping="matchset" replays the reference's greedy consume exactly;
+    grouping="cc" returns connected components (scalable default for web
+    dedup, and identical output in the reference's own test regimes).
+    Returns (cluster_id, id [, is_seed]).
+    """
+    tol = cfg.default_tolerance if tolerance is None else tolerance
+    edges = find_edges(docs, tol, cfg, id_col, text_col)
+    if grouping == "cc":
+        return cc_groups(edges)
+    if grouping == "matchset":
+        return matchset_groups(edges)
+    raise ValueError(f"unknown grouping mode {grouping!r}")
+
+
+def search_with_references(
+    ref_docs: DataFrame,
+    cand_docs: DataFrame,
+    tolerance: float | None = None,
+    cfg: SigConfig = DEFAULT_CONFIG,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Refs-vs-cands search (J3): for each reference doc, every candidate
+    within tolerance and the ±5 % length band.  No consume — a candidate may
+    appear under many refs (video_dup_finder.rs:28-29).  The ref side is
+    broadcast when small (Spark's planner decides via AQE since the band join
+    is an equi-join).
+
+    Returns (ref_id, cand_id, token_hamming).
+    """
+    tol = cfg.default_tolerance if tolerance is None else tolerance
+    ref_sigs = build_signatures(ref_docs, cfg, id_col, text_col)
+    cand_sigs = build_signatures(cand_docs, cfg, id_col, text_col)
+
+    rk = band_keys(ref_sigs, cfg).select("band_id", "band_hash", F.col("id").alias("id1"))
+    ck = band_keys(cand_sigs, cfg).select("band_id", "band_hash", F.col("id").alias("id2"))
+    pairs = rk.join(ck, ["band_id", "band_hash"]).select("id1", "id2").distinct()
+
+    # attach both sides' signatures: ref as id1, cand as id2
+    both = with_distances(
+        pairs.join(
+            ref_sigs.select(
+                F.col("id").alias("id1"),
+                F.col("doclen").alias("len1"),
+                F.col("shingle_hashes").alias("sh1"),
+                F.col("shingle_count").alias("sc1"),
+                F.col("token_hashes").alias("th1"),
+                F.col("simhash").alias("simhash1"),
+            ),
+            "id1",
+        ).join(
+            cand_sigs.select(
+                F.col("id").alias("id2"),
+                F.col("doclen").alias("len2"),
+                F.col("shingle_hashes").alias("sh2"),
+                F.col("shingle_count").alias("sc2"),
+                F.col("token_hashes").alias("th2"),
+                F.col("simhash").alias("simhash2"),
+            ),
+            "id2",
+        )
+    )
+    matched = both.where(
+        ref_length_band(cfg, F.col("len1"), F.col("len2"))
+        & tolerance_predicate(cfg, tol)
+        & (F.col("id1") != F.col("id2"))
+    )
+    return matched.select(
+        F.col("id1").alias("ref_id"), F.col("id2").alias("cand_id"), "token_hamming"
+    )

@@ -1,0 +1,81 @@
+"""Signature / search configuration.
+
+The reference freezes its hash geometry in
+``vid_dup_finder_lib/src/definitions.rs:34-43`` (DCT_SIZE=16, HASH_SIZE=10,
+HASH_BITS=1000, TOLERANCE_SCALING_FACTOR=1000) and records the build options
+as a cache *fingerprint* that must match before cached hashes may be reused
+(``vid_dup_finder_app/src/video_hash_filesystem_cache/cache_metadata.rs:127-162``).
+
+`SigConfig` plays both roles here: it fixes the text-signature geometry
+(shingle size, MinHash permutations, LSH banding, SimHash width) and its
+``fingerprint()`` guards checkpoint-table reuse exactly like the reference's
+metadata file.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+# Mersenne prime 2^61 - 1: modulus for the MinHash universal-hash family.
+# Keeping values < 2^61 lets intermediate products stay in uint64/float-free
+# numpy arithmetic (we use Python-object-free uint64 mod tricks below).
+MERSENNE_61 = (1 << 61) - 1
+
+# The reference maps user tolerance t in [0,1] to an integer Hamming radius
+# floor(t * 1000) (definitions.rs:40, search_algorithm.rs:64,82).  We keep the
+# same scaling so the re-expressed matchset tests use identical tolerances.
+TOLERANCE_SCALING_FACTOR = 1000
+
+
+@dataclass(frozen=True)
+class SigConfig:
+    """Frozen signature geometry + search knobs.
+
+    Defaults follow BASELINE.json's north_star: 128-perm MinHash banded for
+    LSH, 64-bit SimHash, word shingles.
+    """
+
+    shingle_k: int = 3            # tokens per shingle
+    num_perms: int = 128          # MinHash permutations
+    lsh_bands: int = 32           # bands (b); rows r = num_perms // bands
+    simhash_bits: int = 64
+    seed: int = 42
+    # self-search length window: candidate eligible if doclen <= 1.10 * seed
+    # doclen (search_algorithm.rs:93-116); refs search uses +/-5 %
+    # (search_algorithm.rs:173-185).
+    self_len_ratio: float = 1.10
+    ref_len_ratio: float = 1.05
+    default_tolerance: float = 0.35   # definitions.rs:5
+
+    # skew control: LSH buckets larger than this are quarantined + reported,
+    # never silently dropped (SURVEY.md §7 "hard parts" item 3).
+    max_bucket_size: int = 50_000
+
+    def __post_init__(self) -> None:
+        if self.num_perms % self.lsh_bands != 0:
+            raise ValueError(
+                f"num_perms={self.num_perms} not divisible by lsh_bands={self.lsh_bands}"
+            )
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_perms // self.lsh_bands
+
+    def radius(self, tolerance: float) -> int:
+        """tolerance in [0,1] -> integer radius, as search_algorithm.rs:64."""
+        return int(tolerance * TOLERANCE_SCALING_FACTOR)
+
+    def fingerprint(self) -> str:
+        """Stable hash of every semantics-affecting knob.
+
+        Analog of the reference's cache metadata validate-or-die
+        (cache_metadata.rs:127-162): checkpoint tables written under one
+        fingerprint are never reused under another.
+        """
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = SigConfig()

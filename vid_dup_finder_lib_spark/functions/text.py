@@ -1,0 +1,67 @@
+"""JVM-side text column functions.
+
+These are the analog of the reference's per-frame preprocessing pipeline
+(grayscale projection + resize, ``vid_dup_finder_common/src/video_frames_gray.rs:181-193``,
+``resize_gray.rs:11-54``) — but expressed as built-in Catalyst expressions so
+they run inside whole-stage codegen, never in Python.  Only the MinHash /
+SimHash reductions (functions/hashing.py) leave the JVM, and those via Arrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(text: Column) -> Column:
+    """Whitespace-collapse + trim + lowercase.
+
+    Analog of luma centering (dct_3d.rs:69-78): a cheap canonicalization
+    applied before signature extraction.  Kept deliberately simple so the
+    DuckDB oracle can reproduce it exactly:
+    ``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))``.
+    """
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def tokens_col(norm_text: Column) -> Column:
+    """Split normalized text on single spaces (empty text -> empty array)."""
+    return F.when(F.length(norm_text) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm_text, " ")
+    )
+
+
+def token_count_col(norm_text: Column) -> Column:
+    return F.size(tokens_col(norm_text)).cast("long")
+
+
+def shingles_col(tokens: Column, k: int) -> Column:
+    """Distinct k-token shingles, space-joined.
+
+    Built from sequence+transform+slice so the whole thing stays in codegen.
+    Docs with fewer than k tokens yield an empty array (the reference's
+    NotEnoughFrames analog, video_hash_builder.rs:159-167 — such docs carry
+    an error marker instead of a signature).
+    """
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), n - k)  # 0 .. n-k inclusive
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(shingles)
+    )
+
+
+def shingle_hashes_col(shingles: Column) -> Column:
+    """Hash each distinct shingle to int64 with xxhash64 (JVM, codegen).
+
+    Downstream exact-Jaccard verification intersects these hashed sets
+    (64-bit collisions are negligible at any realistic doc size), and the
+    MinHash UDF consumes them as its element universe.
+    """
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def content_hash_col(text: Column) -> Column:
+    """Exact-duplicate key; analog of the blake3 file hash
+    (file_hash_filesystem_cache.rs:39-56)."""
+    return F.sha2(text, 256)

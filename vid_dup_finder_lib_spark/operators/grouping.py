@@ -1,0 +1,117 @@
+"""Match-group construction: connected components + greedy matchset parity.
+
+The reference's groups are NOT connected components: its self-search
+(``search_algorithm.rs:81-171``) walks entries sorted by ``(duration,
+src_path)`` and **greedily consumes** — each seed is marked matched before
+scanning (even if it finds nothing), members match against the *seed* only,
+and every video lands in at most one group.
+
+Two modes (SURVEY.md §2.6 G3):
+
+* ``cc`` — plain connected components over verified edges (what the
+  north_star names; the scalable default);
+* ``matchset`` — exact reference parity: within each component (components
+  are small after verification), a pandas ``applyInPandas`` pass replays the
+  greedy consume in ``(doclen, id)`` order.  The reference's own test
+  generators guarantee regimes where the two coincide
+  (``tests/test_find_all.rs:77-84``: intra*2 < inter).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vid_dup_finder_lib_spark.operators.components import connected_components
+
+
+def cc_groups(edges: DataFrame) -> DataFrame:
+    """Verified edges -> (cluster_id, id).  cluster_id = min member id.
+
+    Every clustered doc appears exactly once; singletons are absent (the
+    reference only emits groups of >= 2, match_group.rs:21-30).
+    """
+    return connected_components(edges).select(
+        F.col("component").alias("cluster_id"), "id"
+    )
+
+
+_GREEDY_SCHEMA = "cluster_id string, id string, is_seed boolean"
+
+
+def _greedy_matchset(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Replay of search_algorithm.rs:81-171 within one component.
+
+    Input rows: one per verified edge, columns id1,id2,len1,len2 (plus the
+    component key).  Edges already encode tolerance + the 1.1x length band,
+    which is symmetric under the (doclen, id) sort.
+    """
+    lens: dict[str, int] = {}
+    adj: dict[str, set[str]] = {}
+    for r in pdf.itertuples(index=False):
+        lens[r.id1] = int(r.len1)
+        lens[r.id2] = int(r.len2)
+        adj.setdefault(r.id1, set()).add(r.id2)
+        adj.setdefault(r.id2, set()).add(r.id1)
+    order = sorted(lens, key=lambda i: (lens[i], i))
+    matched: set[str] = set()
+    out_cluster: list[str] = []
+    out_id: list[str] = []
+    out_seed: list[bool] = []
+    for pos, seed in enumerate(order):
+        if seed in matched:
+            continue
+        matched.add(seed)  # seeds are consumed even when they match nothing
+        members = [
+            m for m in order[pos + 1 :] if m not in matched and m in adj.get(seed, ())
+        ]
+        if members:
+            matched.update(members)
+            for m in [seed, *members]:
+                out_cluster.append(seed)
+                out_id.append(m)
+                out_seed.append(m == seed)
+    return pd.DataFrame(
+        {"cluster_id": out_cluster, "id": out_id, "is_seed": out_seed}
+    )
+
+
+def matchset_groups(edges: DataFrame) -> DataFrame:
+    """Exact reference-parity grouping: (cluster_id, id, is_seed).
+
+    cluster_id is the seed's id.  Components are small (bounded by real dup
+    cluster sizes), so the per-component pandas pass is cheap and fully
+    parallel across components.
+    """
+    assignment = connected_components(edges)
+    e = edges.join(
+        assignment.withColumnRenamed("id", "id1"), "id1"
+    ).select("component", "id1", "id2", "len1", "len2")
+    return e.groupBy("component").applyInPandas(
+        lambda pdf: _greedy_matchset(pdf), schema=_GREEDY_SCHEMA
+    )
+
+
+def group_stats(groups: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-group member count + max pairwise distance (search_output.rs:45-60,
+    A8) for the output sort modes (O2, search_output.rs:43-79)."""
+    pair_dists = edges.select("id1", "id2", "token_hamming")
+    g1 = groups.select("cluster_id", F.col("id").alias("id1"))
+    g2 = groups.select(F.col("cluster_id").alias("c2"), F.col("id").alias("id2"))
+    intra = (
+        pair_dists.join(g1, "id1")
+        .join(g2, "id2")
+        .where(F.col("cluster_id") == F.col("c2"))
+    )
+    sizes = groups.groupBy("cluster_id").agg(F.count("*").alias("num_members"))
+    dists = intra.groupBy("cluster_id").agg(
+        F.max("token_hamming").alias("max_distance")
+    )
+    return sizes.join(dists, "cluster_id", "left").fillna(0, ["max_distance"])
+
+
+def sort_groups(stats: DataFrame, mode: str = "num_matches", descending: bool = True) -> DataFrame:
+    """O2 output sort: by NumMatches / MaxDistance (app_cfg.rs:14-22)."""
+    col = {"num_matches": "num_members", "max_distance": "max_distance"}[mode]
+    return stats.orderBy(F.desc(col) if descending else F.asc(col), "cluster_id")

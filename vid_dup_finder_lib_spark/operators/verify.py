@@ -1,0 +1,132 @@
+"""Exact verification of LSH candidate pairs.
+
+The reference's search applies two predicates per candidate
+(``search_algorithm.rs:63-116``):
+
+* a duration band — self-search admits pairs with ``max_dur <= 1.10 *
+  min_dur`` (``:93-116``); refs-search a ±5 % window (``:173-185``);
+* a Hamming tolerance — ``hamming(a,b) <= floor(tol * 1000)`` (``:64,82``).
+
+Text analogs, all evaluated JVM-side on joined signature arrays:
+
+* ``token_hamming`` — positional token mismatch count + length delta, the
+  direct analog of the reference's bitvector Hamming distance (it is the
+  planted-distance metric of the re-expressed matchset tests);
+* ``jaccard`` on distinct-shingle sets (intersection/union sizes kept as
+  exact integers — thresholds are applied with integer cross-multiplication,
+  never floats);
+* ``simhash_hamming`` — ``bit_count(xor)`` on the 64-bit SimHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vid_dup_finder_lib_spark.config import SigConfig
+
+
+def _mismatch(x: Column, y: Column) -> Column:
+    # zip_with pads the shorter array with nulls; a padded position is a
+    # mismatch by definition (covers the length-delta term).
+    return F.when(x.isNull() | y.isNull(), F.lit(1)).otherwise((x != y).cast("int"))
+
+
+def token_hamming_col(t1: Column, t2: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(t1, t2, _mismatch), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def attach_signatures(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
+    """(id1, id2) -> pair rows carrying both sides' signature columns."""
+    s1 = signatures.select(
+        F.col("id").alias("id1"),
+        F.col("doclen").alias("len1"),
+        F.col("shingle_hashes").alias("sh1"),
+        F.col("shingle_count").alias("sc1"),
+        F.col("token_hashes").alias("th1"),
+        F.col("simhash").alias("simhash1"),
+    )
+    s2 = signatures.select(
+        F.col("id").alias("id2"),
+        F.col("doclen").alias("len2"),
+        F.col("shingle_hashes").alias("sh2"),
+        F.col("shingle_count").alias("sc2"),
+        F.col("token_hashes").alias("th2"),
+        F.col("simhash").alias("simhash2"),
+    )
+    return pairs.join(s1, "id1").join(s2, "id2")
+
+
+def with_distances(pairs_sig: DataFrame) -> DataFrame:
+    """Adds inter/union (exact ints), token_hamming, simhash_hamming."""
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("long")
+    return pairs_sig.withColumn("inter_count", inter).select(
+        "*",
+        (F.col("sc1") + F.col("sc2") - F.col("inter_count")).alias("union_count"),
+        token_hamming_col(F.col("th1"), F.col("th2")).alias("token_hamming"),
+        F.bit_count(F.col("simhash1").bitwiseXOR(F.col("simhash2"))).cast("int").alias(
+            "simhash_hamming"
+        ),
+    )
+
+
+def self_length_band(cfg: SigConfig) -> Column:
+    """max(len) <= ratio * min(len)  (search_algorithm.rs:93-116)."""
+    lo, hi = F.least("len1", "len2"), F.greatest("len1", "len2")
+    # integer-exact: hi <= 1.10*lo  <=>  100*hi <= 110*lo
+    return hi * 100 <= lo * F.lit(int(round(cfg.self_len_ratio * 100)))
+
+
+def ref_length_band(cfg: SigConfig, ref_len: Column, cand_len: Column) -> Column:
+    """cand in [0.95 d, 1.05 d] of ref (search_algorithm.rs:173-185)."""
+    pct = int(round((cfg.ref_len_ratio - 1.0) * 100))
+    return (cand_len * 100 >= ref_len * (100 - pct)) & (
+        cand_len * 100 <= ref_len * (100 + pct)
+    )
+
+
+def tolerance_predicate(cfg: SigConfig, tolerance: float) -> Column:
+    """token_hamming <= floor(tol * 1000) (search_algorithm.rs:64,82)."""
+    return F.col("token_hamming") <= F.lit(cfg.radius(tolerance))
+
+
+def jaccard_predicate(threshold_num: int, threshold_den: int) -> Column:
+    """jaccard >= num/den, evaluated as exact integer cross-multiplication."""
+    return (F.col("inter_count") * threshold_den >= F.col("union_count") * threshold_num) & (
+        F.col("union_count") > 0
+    )
+
+
+def verified_edges(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: SigConfig,
+    tolerance: float | None = None,
+    jaccard_num_den: tuple[int, int] | None = None,
+    length_band: bool = True,
+) -> DataFrame:
+    """Candidate pairs -> verified edge table (id1, id2, distances).
+
+    Either/both predicates may be active: ``tolerance`` applies the
+    reference's scaled Hamming radius on token_hamming; ``jaccard_num_den``
+    applies an exact shingle-Jaccard threshold.
+    """
+    d = with_distances(attach_signatures(pairs, signatures))
+    if length_band:
+        d = d.where(self_length_band(cfg))
+    if tolerance is not None:
+        d = d.where(tolerance_predicate(cfg, tolerance))
+    if jaccard_num_den is not None:
+        d = d.where(jaccard_predicate(*jaccard_num_den))
+    return d.select(
+        "id1",
+        "id2",
+        "token_hamming",
+        "inter_count",
+        "union_count",
+        "simhash_hamming",
+        "len1",
+        "len2",
+    )
