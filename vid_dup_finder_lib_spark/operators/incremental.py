@@ -1,0 +1,93 @@
+"""Incremental signature refresh.
+
+The reference's cache recomputes only entries whose filesystem mtime drifted
+more than 2 s from the cached mtime, and garbage-collects deleted files
+(``processing_fs_cache.rs:78-199``, drift check ``:181-192``).  Text analog:
+``warc_ts`` is the mtime; the signatures checkpoint table is the cache.
+
+``plan_refresh`` computes the three disjoint work sets as DataFrames — no
+driver-side diffing — and ``refresh_signatures`` executes: recompute only
+changed+new rows (the expensive Arrow-UDF stage touches *only* those), keep
+unchanged signatures as-is, drop deleted ids.  At 10^12 docs the daily delta
+is orders of magnitude smaller than the corpus; this is the operator that
+makes the pipeline affordable to re-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vid_dup_finder_lib_spark.config import SigConfig
+from vid_dup_finder_lib_spark.operators.signatures import build_signatures
+
+# mtime drift tolerance: 2 s, as processing_fs_cache.rs:181-192
+STALENESS_SECONDS = 2
+
+
+def plan_refresh(
+    docs: DataFrame,
+    cached: DataFrame,
+    id_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (to_compute_docs, keep_signatures, deleted_ids).
+
+    ``cached`` must carry (id, cached_ts) alongside its signature columns.
+    A row needs recompute when it is new or its timestamp drifted more than
+    STALENESS_SECONDS in either direction (the reference compares absolute
+    drift, not ordering).
+    """
+    live = docs.select(F.col(id_col).alias("id"), F.col(ts_col).alias("live_ts"))
+    state = cached.select("id", F.col("cached_ts"))
+
+    joined = live.join(state, "id", "left")
+    stale_or_new = joined.where(
+        F.col("cached_ts").isNull()
+        | (
+            F.abs(
+                F.unix_timestamp("live_ts") - F.unix_timestamp("cached_ts")
+            )
+            > STALENESS_SECONDS
+        )
+    ).select("id")
+
+    to_compute = docs.join(
+        stale_or_new.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+    keep = cached.join(live, "id", "left_semi").join(stale_or_new, "id", "left_anti")
+    deleted = state.select("id").join(live.select("id"), "id", "left_anti")
+    return to_compute, keep, deleted
+
+
+def refresh_signatures(
+    docs: DataFrame,
+    cached: DataFrame | None,
+    cfg: SigConfig,
+    id_col: str = "url",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """New signature table = recomputed(changed+new) ∪ kept(unchanged).
+
+    Output carries ``cached_ts`` so the next round can diff against it.
+    Errors remain cached values and are NOT retried unless the doc row
+    changed — exactly the reference's cached-error behavior
+    (generic_cache_if.rs:22-45; --reload-errs analog is a full rebuild).
+    """
+    fresh_cols = lambda df: df.select(  # noqa: E731
+        "id", "doclen", "token_hashes", "shingle_count", "shingle_hashes",
+        "minhash", "simhash", "content_hash", "error", "cached_ts",
+    )
+    if cached is None:
+        fresh = build_signatures(docs, cfg, id_col, text_col).join(
+            docs.select(F.col(id_col).alias("id"), F.col(ts_col).alias("cached_ts")), "id"
+        )
+        return fresh_cols(fresh)
+
+    to_compute, keep, _deleted = plan_refresh(docs, cached, id_col, ts_col)
+    recomputed = build_signatures(to_compute, cfg, id_col, text_col).join(
+        to_compute.select(F.col(id_col).alias("id"), F.col(ts_col).alias("cached_ts")),
+        "id",
+    )
+    return fresh_cols(recomputed).unionByName(fresh_cols(keep))

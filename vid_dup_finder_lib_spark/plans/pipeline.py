@@ -1,0 +1,96 @@
+"""End-to-end dedup pipeline: the spark-submit job graph.
+
+Mirrors the reference CLI's run (``app_fns.rs:82-256`` traced in SURVEY.md
+§3.3): refresh signatures (incremental) -> candidates -> verify -> cluster ->
+match-DB filters -> metrics/outputs, with every stage checkpointed and
+resumable.  This module is what ``spark-submit --py-files`` runs at cluster
+scale; the library API (api.py) is the non-persistent form of the same plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vid_dup_finder_lib_spark.config import DEFAULT_CONFIG, SigConfig
+from vid_dup_finder_lib_spark.operators import matchdb
+from vid_dup_finder_lib_spark.operators.grouping import cc_groups, group_stats, matchset_groups
+from vid_dup_finder_lib_spark.operators.incremental import refresh_signatures
+from vid_dup_finder_lib_spark.operators.lsh import candidate_pairs
+from vid_dup_finder_lib_spark.operators.verify import verified_edges
+from vid_dup_finder_lib_spark.plans.checkpoint import CheckpointStore
+
+
+@dataclass
+class PipelineResult:
+    signatures: DataFrame
+    edges: DataFrame
+    groups: DataFrame
+    stats: DataFrame
+    metrics: dict
+
+
+def run_dedup_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    checkpoint_root: str,
+    tolerance: float | None = None,
+    cfg: SigConfig = DEFAULT_CONFIG,
+    grouping: str = "cc",
+    falsepos: DataFrame | None = None,
+    confirmed: DataFrame | None = None,
+    id_col: str = "url",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    force: bool = False,
+) -> PipelineResult:
+    """Resumable end-to-end run.  Re-invoking with the same checkpoint_root
+    and config resumes after the last completed stage; with changed config
+    the store refuses (fingerprint guard)."""
+    store = CheckpointStore(checkpoint_root, cfg)
+    tol = cfg.default_tolerance if tolerance is None else tolerance
+
+    def _signatures():
+        cached = None
+        try:
+            if store.is_complete("signatures"):
+                cached = store.read(spark, "signatures")
+        except ValueError:
+            raise
+        return refresh_signatures(docs, cached, cfg, id_col, text_col, ts_col)
+
+    # signatures stage always runs the refresh plan (it is itself the
+    # incremental fast path); the checkpoint write makes it durable.
+    sigs = store.write("signatures", _signatures(), upstream=["docs"])
+
+    def _edges():
+        pairs, quarantined = candidate_pairs(sigs, cfg)
+        store.write("quarantined_buckets", quarantined, upstream=["signatures"])
+        e = verified_edges(pairs, sigs, cfg, tolerance=tol)
+        if falsepos is not None:
+            e = matchdb.remove_falsepos_edges(e, falsepos)  # J7: pre-CC edge removal
+        return e
+
+    edges = store.run_stage(spark, "edges", _edges, upstream=["signatures"], force=force)
+
+    def _groups():
+        e = edges
+        if confirmed is not None:
+            e = matchdb.remove_known_matches(e, confirmed)  # J6
+        return matchset_groups(e) if grouping == "matchset" else cc_groups(e)
+
+    groups = store.run_stage(spark, "groups", _groups, upstream=["edges"], force=force)
+
+    def _stats():
+        return group_stats(groups.select("cluster_id", "id"), edges)
+
+    stats = store.run_stage(spark, "group_stats", _stats, upstream=["groups", "edges"], force=force)
+
+    return PipelineResult(
+        signatures=sigs,
+        edges=edges,
+        groups=groups,
+        stats=stats,
+        metrics=store.metrics(),
+    )
