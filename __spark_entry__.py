@@ -240,6 +240,296 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared: verified LSH edges over the derived near-dup corpus."""
+    sigs = _neardup_signatures(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    pairs, _q = candidate_pairs(sigs, ENTRY_CFG)
+    return verified_edges(
+        pairs, sigs, ENTRY_CFG, jaccard_num_den=(JACCARD_NUM, JACCARD_DEN), length_band=False
+    ).localCheckpoint(eager=True)
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: distributed union-find replacement — CC assignment over verified
+    near-dup edges (cluster id = min member id)."""
+    from vid_dup_finder_lib_spark.operators.components import connected_components
+
+    return connected_components(_lsh_edges(spark, sf_dir)).select(
+        F.col("id").cast("long").alias("doc_id"), F.col("component").cast("long").alias("cluster_id")
+    )
+
+
+def q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-cluster member collection (sorted, exact)."""
+    cc = q_connected_components(spark, sf_dir)
+    return cc.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.concat_ws(",", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))).alias(
+            "members"
+        ),
+    )
+
+
+def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/O2: per-cluster size + max edge distance (union−inter: an integer
+    distance surrogate), with the output-sort rank as a column."""
+    from pyspark.sql.window import Window
+
+    edges = _lsh_edges(spark, sf_dir)
+    cc = q_connected_components(spark, sf_dir)
+    e = edges.join(
+        cc.select(F.col("doc_id").alias("id1"), "cluster_id"), "id1"
+    ).withColumn("edge_dist", F.col("union_count") - F.col("inter_count"))
+    stats = (
+        cc.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+        .join(
+            e.groupBy("cluster_id").agg(F.max("edge_dist").alias("max_edge_dist")),
+            "cluster_id",
+            "left",
+        )
+    )
+    w = Window.orderBy(F.desc("n_members"), F.asc("cluster_id"))
+    return stats.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def q_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: derived-corpus docs with no duplicate at the threshold."""
+    from vid_dup_finder_lib_spark.operators.matchdb import unique_docs
+
+    derived = _derived_neardup(_docs(spark, sf_dir))
+    return unique_docs(derived, _lsh_edges(spark, sf_dir), id_col="doc_id").select(
+        F.col("doc_id").cast("long")
+    )
+
+
+def q_missed_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: recall accounting — planted pairs the search failed to find
+    (planted short docs fall below the Jaccard threshold; they are the
+    expected misses, identically in both engines)."""
+    from vid_dup_finder_lib_spark.operators.matchdb import missed_matches
+
+    confirmed = (
+        _tokens(_docs(spark, sf_dir))
+        .select(
+            F.col("doc_id").alias("id1"),
+            (F.col("doc_id") + 100000).alias("id2"),
+        )
+    )
+    return missed_matches(_lsh_edges(spark, sf_dir), confirmed).select("id1", "id2")
+
+
+def q_falsepos_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/F6: false-positive pairs removed from the edge set pre-clustering."""
+    from vid_dup_finder_lib_spark.operators.matchdb import remove_falsepos_edges
+
+    edges = _lsh_edges(spark, sf_dir)
+    falsepos = edges.where((F.col("id1") + F.col("id2")) % 3 == 0).select("id1", "id2")
+    return remove_falsepos_edges(edges, falsepos).select(
+        "id1", "id2", "inter_count", "union_count"
+    )
+
+
+def q_confirmed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/F7: drop found pairs already confirmed in the match DB (union-find
+    closure of the confirmed pair table)."""
+    from vid_dup_finder_lib_spark.operators.matchdb import remove_known_matches
+
+    edges = _lsh_edges(spark, sf_dir)
+    confirmed = (
+        _tokens(_docs(spark, sf_dir))
+        .where(F.col("doc_id") % 2 == 0)
+        .select(F.col("doc_id").alias("id1"), (F.col("doc_id") + 100000).alias("id2"))
+    )
+    return remove_known_matches(edges, confirmed).select(
+        "id1", "id2", "inter_count", "union_count"
+    )
+
+
+def q_moved_relink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: content-hash equi-join relink of ids that moved while text stayed
+    byte-identical."""
+    from vid_dup_finder_lib_spark.operators.matchdb import fix_moved_ids
+
+    tok = _tokens(_docs(spark, sf_dir))
+    text = tok.select("doc_id", F.array_join("toks", " ").alias("text"))
+    moved_mask = F.col("doc_id") % 20 == 0
+    live = text.where(~moved_mask).unionByName(
+        text.where(moved_mask).select(
+            (F.col("doc_id") + 300000).alias("doc_id"), "text"
+        )
+    )
+    live_sigs = build_signatures(live, ENTRY_CFG, id_col="doc_id", text_col="text")
+    old_entries = build_signatures(
+        text.where(moved_mask), ENTRY_CFG, id_col="doc_id", text_col="text"
+    ).select("id", "content_hash")
+    return fix_moved_ids(live_sigs, old_entries).select(
+        F.col("old_id").cast("long"), F.col("new_id").cast("long")
+    )
+
+
+def q_incremental_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: incremental refresh work sets — recompute / new / delete —
+    from the timestamp-drift diff (mtime analog)."""
+    from vid_dup_finder_lib_spark.operators.incremental import plan_refresh
+
+    tok = _tokens(_docs(spark, sf_dir))
+    v1 = tok.select(
+        "doc_id",
+        F.array_join("toks", " ").alias("text"),
+        F.to_timestamp(F.lit(1735689600) + F.col("doc_id")).alias("warc_ts"),
+    )
+    changed = F.col("doc_id") % 10 == 0
+    deleted = F.col("doc_id") % 17 == 0
+    v2 = (
+        v1.where(~deleted)
+        .select(
+            "doc_id",
+            F.when(changed, F.concat("text", F.lit(" upd"))).otherwise(F.col("text")).alias("text"),
+            F.when(changed, F.to_timestamp(F.lit(1735689610) + F.col("doc_id"))).otherwise(
+                F.col("warc_ts")
+            ).alias("warc_ts"),
+        )
+        .unionByName(
+            v1.where(F.col("doc_id") % 25 == 0).select(
+                (F.col("doc_id") + 400000).alias("doc_id"), "text", "warc_ts"
+            )
+        )
+    )
+    cached = v1.select(
+        F.col("doc_id").alias("id"), F.col("warc_ts").alias("cached_ts")
+    )
+    to_compute, _keep, deleted_ids = plan_refresh(v2, cached, id_col="doc_id")
+    known = cached.select(F.col("id").alias("doc_id"))
+    actions = (
+        to_compute.select("doc_id")
+        .join(known, "doc_id", "left_semi")
+        .select("doc_id", F.lit("recompute").alias("action"))
+        .unionByName(
+            to_compute.select("doc_id")
+            .join(known, "doc_id", "left_anti")
+            .select("doc_id", F.lit("new").alias("action"))
+        )
+        .unionByName(
+            deleted_ids.select(F.col("id").alias("doc_id"), F.lit("delete").alias("action"))
+        )
+    )
+    return actions.select(F.col("doc_id").cast("long"), "action")
+
+
+def q_length_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: the 1.10x length window as a banded equi-join (skew-safe form of
+    the reference's duration sort window)."""
+    from vid_dup_finder_lib_spark.operators.verify import length_band_pairs
+
+    sigs = build_signatures(
+        _tokens(_docs(spark, sf_dir)).select(
+            "doc_id", F.array_join("toks", " ").alias("text")
+        ),
+        ENTRY_CFG,
+        id_col="doc_id",
+        text_col="text",
+    )
+    return length_band_pairs(sigs, ENTRY_CFG).select(
+        F.col("id1").cast("long"), F.col("id2").cast("long"), "len1", "len2"
+    )
+
+
+def q_refs_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: reference search — refs vs candidate corpus through the band join,
+    ±5 % length window, no consume (a cand may match many refs)."""
+    from vid_dup_finder_lib_spark.operators.lsh import band_keys
+    from vid_dup_finder_lib_spark.operators.verify import (
+        jaccard_predicate,
+        ref_length_band,
+        with_distances,
+    )
+
+    docs = _docs(spark, sf_dir)
+    derived = _derived_neardup(docs)
+    refs = derived.where(
+        (F.col("doc_id") >= 100000) & ((F.col("doc_id") - 100000) % 50 == 0)
+    )
+    cands = derived.where(F.col("doc_id") < 100000)
+    ref_sigs = build_signatures(refs, ENTRY_CFG, id_col="doc_id", text_col="text")
+    cand_sigs = build_signatures(cands, ENTRY_CFG, id_col="doc_id", text_col="text")
+    rk = band_keys(ref_sigs, ENTRY_CFG).select("band_id", "band_hash", F.col("id").alias("id1"))
+    ck = band_keys(cand_sigs, ENTRY_CFG).select("band_id", "band_hash", F.col("id").alias("id2"))
+    pairs = rk.join(ck, ["band_id", "band_hash"]).select("id1", "id2").distinct()
+    both = with_distances(
+        pairs.join(
+            ref_sigs.select(
+                F.col("id").alias("id1"), F.col("doclen").alias("len1"),
+                F.col("shingle_hashes").alias("sh1"), F.col("shingle_count").alias("sc1"),
+                F.col("token_hashes").alias("th1"), F.col("simhash").alias("simhash1"),
+            ),
+            "id1",
+        ).join(
+            cand_sigs.select(
+                F.col("id").alias("id2"), F.col("doclen").alias("len2"),
+                F.col("shingle_hashes").alias("sh2"), F.col("shingle_count").alias("sc2"),
+                F.col("token_hashes").alias("th2"), F.col("simhash").alias("simhash2"),
+            ),
+            "id2",
+        )
+    )
+    out = both.where(
+        ref_length_band(ENTRY_CFG, F.col("len1"), F.col("len2"))
+        & jaccard_predicate(JACCARD_NUM, JACCARD_DEN)
+    )
+    return out.select(
+        F.col("id1").cast("long").alias("ref_id"),
+        F.col("id2").cast("long").alias("cand_id"),
+        "inter_count",
+        "union_count",
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN baseline: exact cosine top-5 for the first 10 vectors (rank
+    output only — float-free so the hash matches bit-for-bit)."""
+    from vid_dup_finder_lib_spark.operators.ann import brute_force_topk
+
+    emb = _embeddings(spark, sf_dir)
+    quer = emb.where(F.col("vec_id") < 10)
+    return brute_force_topk(quer, emb, k=5).select(
+        F.col("query_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("neighbor_id").cast("long"),
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-radius dedup (pigeonhole candidates + bit_count
+    verify).  Not ANSI-SQL-expressible (hash-function-dependent) — rows-only
+    driver check; exactness is covered by tests/test_dedup_extras.py against
+    a brute-force oracle."""
+    from vid_dup_finder_lib_spark.operators.dedup import simhash_hamming_pairs
+
+    sigs = _neardup_signatures(_docs(spark, sf_dir))
+    return simhash_hamming_pairs(sigs, radius=3).select(
+        F.col("id1").cast("long"), F.col("id2").cast("long"), "simhash_hamming"
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload column + typed metadata
+    projection (octet length, content digest)."""
+    from vid_dup_finder_lib_spark.operators.multimodal import media_metadata
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").cast("long").cast("string").alias("media_id"),
+        F.lit("text/plain").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return media_metadata(media).select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "n_bytes",
+        "payload_md5",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -259,6 +549,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
         "langid": q_langid,
+        "connected_components": q_connected_components,
+        "cluster_members": q_cluster_members,
+        "group_stats": q_group_stats,
+        "unique_docs": q_unique_docs,
+        "missed_matches": q_missed_matches,
+        "falsepos_filter": q_falsepos_filter,
+        "confirmed_filter": q_confirmed_filter,
+        "moved_relink": q_moved_relink,
+        "incremental_plan": q_incremental_plan,
+        "length_band_pairs": q_length_band_pairs,
+        "refs_search": q_refs_search,
+        "ann_topk": q_ann_topk,
+        "simhash_pairs": q_simhash_pairs,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -282,7 +586,108 @@ def oracle_sql() -> dict[str, str]:
         best += f"WHEN {cond} THEN '{lang}' "
     best += "ELSE 'und' END"
 
+    prologue_r = _SQL_PROLOGUE.replace("WITH norm", "WITH RECURSIVE norm", 1)
+    sql_cc = r"""
+, sym AS (SELECT id1 AS a, id2 AS b FROM jpairs UNION SELECT id2, id1 FROM jpairs),
+walk(id, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT w.id, s.b FROM walk w JOIN sym s ON w.r = s.a
+),
+cc AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM walk GROUP BY id)
+"""
+
     return {
+        "connected_components": prologue_r + sql_cc + "SELECT doc_id, cluster_id FROM cc",
+        "cluster_members": prologue_r + sql_cc + r"""
+SELECT cluster_id, count(*)::BIGINT AS n_members,
+       array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS members
+FROM cc GROUP BY 1
+""",
+        "group_stats": prologue_r + sql_cc + r"""
+, edge_c AS (
+  SELECT c.cluster_id, (j.union_count - j.inter_count)::BIGINT AS edge_dist
+  FROM jpairs j JOIN cc c ON j.id1 = c.doc_id
+),
+stats AS (SELECT cluster_id, count(*)::BIGINT AS n_members FROM cc GROUP BY 1),
+maxd AS (SELECT cluster_id, max(edge_dist) AS max_edge_dist FROM edge_c GROUP BY 1)
+SELECT s.cluster_id, s.n_members, m.max_edge_dist,
+       row_number() OVER (ORDER BY s.n_members DESC, s.cluster_id)::BIGINT AS rank
+FROM stats s LEFT JOIN maxd m USING (cluster_id)
+""",
+        "unique_docs": _SQL_PROLOGUE + r"""
+SELECT d.doc_id FROM derived d
+WHERE d.doc_id NOT IN (SELECT id1 FROM jpairs UNION SELECT id2 FROM jpairs)
+""",
+        "missed_matches": _SQL_PROLOGUE + r"""
+SELECT doc_id AS id1, doc_id + 100000 AS id2 FROM tok
+EXCEPT
+SELECT id1, id2 FROM jpairs
+""",
+        "falsepos_filter": _SQL_PROLOGUE
+        + "SELECT id1, id2, inter_count, union_count FROM jpairs WHERE (id1 + id2) % 3 <> 0",
+        "confirmed_filter": _SQL_PROLOGUE
+        + r"""
+SELECT id1, id2, inter_count, union_count FROM jpairs
+WHERE NOT (id2 = id1 + 100000 AND id1 % 2 = 0)
+""",
+        "moved_relink": _SQL_PROLOGUE + r"""
+, old_entries AS (
+  SELECT doc_id, array_to_string(toks, ' ') AS txt FROM tok WHERE doc_id % 20 = 0
+),
+live AS (
+  SELECT doc_id + 300000 AS doc_id, array_to_string(toks, ' ') AS txt
+  FROM tok WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id, array_to_string(toks, ' ') FROM tok WHERE doc_id % 20 <> 0
+)
+SELECT o.doc_id AS old_id, l.doc_id AS new_id
+FROM old_entries o JOIN live l ON o.txt = l.txt
+""",
+        "incremental_plan": _SQL_PROLOGUE + r"""
+SELECT doc_id, 'recompute' AS action FROM tok WHERE doc_id % 10 = 0 AND doc_id % 17 <> 0
+UNION ALL
+SELECT doc_id + 400000, 'new' FROM tok WHERE doc_id % 25 = 0
+UNION ALL
+SELECT doc_id, 'delete' FROM tok WHERE doc_id % 17 = 0
+""",
+        "length_band_pairs": _SQL_PROLOGUE + r"""
+, lens AS (SELECT doc_id, len(toks)::BIGINT AS n FROM tok WHERE len(toks) > 0)
+SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS len1, b.n AS len2
+FROM lens a JOIN lens b
+  ON a.doc_id < b.doc_id
+ AND greatest(a.n, b.n) * 100 <= least(a.n, b.n) * 110
+""",
+        "refs_search": _SQL_PROLOGUE + r"""
+SELECT j.id2 AS ref_id, j.id1 AS cand_id, j.inter_count, j.union_count
+FROM jpairs j
+JOIN dsh r ON r.doc_id = j.id2
+JOIN dsh c ON c.doc_id = j.id1
+WHERE j.id2 >= 100000 AND (j.id2 - 100000) % 50 = 0 AND j.id1 < 100000
+  AND c.n_tokens * 100 >= r.n_tokens * 95
+  AND c.n_tokens * 100 <= r.n_tokens * 105
+""",
+        "ann_topk": r"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (
+  SELECT qid, nid, list_cosine_similarity(qv, cv) AS cos
+  FROM q CROSS JOIN c WHERE qid <> nid
+),
+r AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM s
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, neighbor_id::BIGINT AS neighbor_id
+FROM r WHERE rank <= 5
+""",
+        "multimodal_meta": r"""
+SELECT doc_id::BIGINT AS doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+""",
         "signatures_basic": _SQL_PROLOGUE
         + r"""
 , base_sh AS (

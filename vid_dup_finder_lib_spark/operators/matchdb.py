@@ -59,10 +59,17 @@ def is_confirmed_pair(pairs: DataFrame, confirmed: DataFrame) -> DataFrame:
         p.join(cl.select(F.col("id").alias("id1"), F.col("confirmed_cluster").alias("c1")), "id1", "left")
         .join(cl.select(F.col("id").alias("id2"), F.col("confirmed_cluster").alias("c2")), "id2", "left")
     )
+    # three-valued logic: c1==c2 is NULL when either side is NULL, and
+    # `true & null` stays NULL — lead with the null checks so the whole
+    # predicate collapses to false (not NULL) for half-confirmed pairs.
     return j.select(
         "id1",
         "id2",
-        (F.col("c1").isNotNull() & (F.col("c1") == F.col("c2"))).alias("confirmed"),
+        (
+            F.col("c1").isNotNull()
+            & F.col("c2").isNotNull()
+            & (F.col("c1") == F.col("c2"))
+        ).alias("confirmed"),
     )
 
 

@@ -99,6 +99,42 @@ def jaccard_predicate(threshold_num: int, threshold_den: int) -> Column:
     )
 
 
+def length_band_pairs(signatures: DataFrame, cfg: SigConfig) -> DataFrame:
+    """All pairs within the self-search length window, via banded equi-join.
+
+    The reference gets this window for free from its duration sort
+    (search_algorithm.rs:93-116); a sort is not a distributed join strategy,
+    so here each doc gets a logarithmic band key ``floor(ln(len)/ln(ratio))``
+    and joins its own and the two adjacent bands (any pair with
+    ``hi <= ratio*lo`` differs by at most one band), then the exact integer
+    predicate filters.  Equi-join => shuffle-partitionable and AQE-skew-
+    splittable at any scale.  Returns (id1, id2, len1, len2).
+    """
+    ratio = cfg.self_len_ratio
+    import math
+
+    band = F.floor(F.log(F.col("doclen").cast("double")) / math.log(ratio)).cast("long")
+    base = signatures.where(F.col("doclen") > 0).select(
+        "id", "doclen", band.alias("band")
+    )
+    probe = base.select(
+        F.col("id").alias("id2"),
+        F.col("doclen").alias("len2"),
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band"),
+    )
+    joined = base.select(
+        F.col("id").alias("id1"), F.col("doclen").alias("len1"), "band"
+    ).join(probe, "band")
+    return (
+        joined.where(F.col("id1") < F.col("id2"))
+        .where(self_length_band(cfg))
+        .select("id1", "id2", "len1", "len2")
+        .distinct()
+    )
+
+
 def verified_edges(
     pairs: DataFrame,
     signatures: DataFrame,
