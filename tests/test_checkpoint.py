@@ -1,0 +1,69 @@
+"""Checkpoint store + pipeline: atomic stage tables, fingerprint guard,
+resume-skip, lineage metrics (base_fs_cache.rs / cache_metadata.rs analogs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vid_dup_finder_lib_spark.config import SigConfig
+from vid_dup_finder_lib_spark.corpus import CorpusBuilder
+from vid_dup_finder_lib_spark.plans.checkpoint import CheckpointStore
+from vid_dup_finder_lib_spark.plans.pipeline import run_dedup_pipeline
+
+CFG = SigConfig(num_perms=128, lsh_bands=128, seed=42)
+
+
+def test_store_roundtrip_and_manifest(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path / "ckpt"), CFG)
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out = store.write("stage_a", df)
+    assert out.count() == 100
+    m = store.manifest("stage_a")
+    assert m["row_count"] == 100
+    assert m["fingerprint"] == CFG.fingerprint()
+    assert sum(m["partition_rows"].values()) == 100  # per-partition lineage
+    assert store.is_complete("stage_a")
+
+
+def test_fingerprint_guard_refuses_mismatched_config(spark, tmp_path):
+    root = str(tmp_path / "ckpt2")
+    CheckpointStore(root, CFG).write("stage_a", spark.range(5))
+    other = CheckpointStore(root, SigConfig(shingle_k=5, seed=42))
+    with pytest.raises(ValueError, match="fingerprint"):
+        other.is_complete("stage_a")
+
+
+def test_resume_skips_completed_stage(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path / "ckpt3"), CFG)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(10)
+
+    store.run_stage(spark, "s", build)
+    store.run_stage(spark, "s", build)
+    assert len(calls) == 1  # second run resumed from the table
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path):
+    cb = CorpusBuilder(seed=61)
+    cb.make_clusters(
+        num_clusters=2, first_size=5, size_step=2, intra_d=30, inter_d=200, doclen=500
+    )
+    docs = cb.to_spark(spark).localCheckpoint()
+    root = str(tmp_path / "pipe")
+
+    res = run_dedup_pipeline(spark, docs, root, tolerance=0.100, cfg=CFG)
+    sizes = sorted(
+        r["count"]
+        for r in res.groups.groupBy("cluster_id").count().collect()
+    )
+    assert sizes == [5, 7]
+    assert set(res.metrics) >= {"signatures", "edges", "groups", "group_stats"}
+    assert res.metrics["edges"]["upstream"] == ["signatures"]
+
+    # resume: edges/groups stages must be skipped (same manifests, no error)
+    res2 = run_dedup_pipeline(spark, docs, root, tolerance=0.100, cfg=CFG)
+    assert sorted(
+        r["count"] for r in res2.groups.groupBy("cluster_id").count().collect()
+    ) == [5, 7]

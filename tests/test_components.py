@@ -1,0 +1,60 @@
+"""Connected components vs a pure-Python union-find oracle (the reference's
+DisjointSet tests, disjoint_set.rs:217-335, re-expressed for the distributed
+implementation)."""
+
+import numpy as np
+
+
+def _uf_oracle(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), set()).add(i)
+    return {frozenset(s) for s in comp.values() if len(s) > 1}
+
+
+def _cc_spark(spark, edges):
+    from vid_dup_finder_lib_spark.operators.components import connected_components
+
+    df = spark.createDataFrame([(int(a), int(b)) for a, b in edges], "id1 long, id2 long")
+    rows = connected_components(df).collect()
+    comp = {}
+    for r in rows:
+        comp.setdefault(r.component, set()).add(r.id)
+    return {frozenset(s) for s in comp.values()}
+
+
+def test_random_graphs(spark):
+    rng = np.random.default_rng(21)
+    for trial in range(3):
+        n = 200
+        m = int(rng.integers(50, 300))
+        edges = [tuple(sorted(rng.choice(n, 2, replace=False))) for _ in range(m)]
+        assert _cc_spark(spark, edges) == _uf_oracle(n, edges)
+
+
+def test_long_chain(spark):
+    """Worst-case diameter: a 40-node path (checks iteration count and
+    convergence detection, not just dense-cluster happy path)."""
+    edges = [(i, i + 1) for i in range(39)]
+    got = _cc_spark(spark, edges)
+    assert got == {frozenset(range(40))}
+
+
+def test_merge_cases(spark):
+    """The three DisjointSet::insert cases (disjoint_set.rs:22-44): new set,
+    append to set, merge two sets."""
+    edges = [(1, 2), (3, 4), (2, 3), (10, 11)]
+    got = _cc_spark(spark, edges)
+    assert got == {frozenset({1, 2, 3, 4}), frozenset({10, 11})}

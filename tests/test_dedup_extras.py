@@ -1,0 +1,127 @@
+"""Dedup/ANN operator family vs brute-force oracles: simhash Hamming pairs,
+ngram-Jaccard pairs, hyperplane-LSH ANN, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vid_dup_finder_lib_spark.config import SigConfig
+from vid_dup_finder_lib_spark.corpus import CorpusBuilder
+from vid_dup_finder_lib_spark.functions.hashing import hamming64
+from vid_dup_finder_lib_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+    simhash_hamming_pairs,
+)
+from vid_dup_finder_lib_spark.operators.signatures import build_signatures
+
+CFG = SigConfig(seed=42)
+
+
+@pytest.fixture(scope="module")
+def sigs(spark):
+    cb = CorpusBuilder(seed=51)
+    # intra_d=6 of 400 tokens keeps SimHash Hamming well inside radius 16
+    cb.make_clusters(
+        num_clusters=3, first_size=4, size_step=2, intra_d=6, inter_d=300, doclen=400
+    )
+    cb.add_singletons(10, 200, 500, site=7)
+    docs = cb.to_spark(spark).localCheckpoint()
+    return build_signatures(docs, CFG).localCheckpoint()
+
+
+def test_simhash_pairs_match_bruteforce(spark, sigs):
+    radius = 16
+    got = {
+        (r.id1, r.id2)
+        for r in simhash_hamming_pairs(sigs, radius=radius).collect()
+    }
+    rows = sigs.select("id", "simhash").collect()
+    expect = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if a.simhash is None or b.simhash is None:
+                continue
+            if hamming64(a.simhash, b.simhash) <= radius:
+                expect.add((min(a.id, b.id), max(a.id, b.id)))
+    assert got == expect
+    assert len(expect) > 0  # planted near-dups must be within radius
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, sigs):
+    got = {
+        (r.id1, r.id2): (r.inter_count, r.union_count)
+        for r in ngram_jaccard_pairs(sigs, 1, 2).collect()
+    }
+    rows = sigs.select("id", "shingle_hashes").collect()
+    expect = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            sa, sb = set(a.shingle_hashes), set(b.shingle_hashes)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if inter * 2 >= union:
+                key = (min(a.id, b.id), max(a.id, b.id))
+                expect[key] = (inter, union)
+    assert got == expect
+    assert len(expect) > 0
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    from vid_dup_finder_lib_spark.operators.ann import brute_force_topk, lsh_bucket_topk
+
+    rng = np.random.default_rng(52)
+    dim, n = 16, 120
+    # clustered vectors so top-1 neighbors are meaningful
+    centers = rng.standard_normal((6, dim))
+    vecs = centers[np.arange(n) % 6] + 0.1 * rng.standard_normal((n, dim))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).localCheckpoint()
+
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_topk(df, df, k=1).collect()
+    }
+    approx = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in lsh_bucket_topk(df, k=1, dim=dim, n_tables=12, n_planes=6, seed=1).collect()
+    }
+    hits = sum(1 for k, v in exact.items() if approx.get(k) == v)
+    assert hits / len(exact) >= 0.9  # ANN recall@1
+
+
+def test_multimodal_plumbing(spark):
+    from vid_dup_finder_lib_spark.operators.multimodal import (
+        extract_frame_features,
+        frame_sample,
+        media_metadata,
+    )
+
+    media = spark.createDataFrame(
+        [
+            ("m1", "image/fake", b"payload-one"),
+            ("m2", "image/fake", b"payload-two"),
+            ("m3", "image/fake", b""),
+        ],
+        "media_id string, mime string, payload binary",
+    )
+    feats = extract_frame_features(media, decoder="fake", n_frames=16, feature_dim=8)
+    rows = feats.collect()
+    ok = [r for r in rows if r.error is None]
+    err = [r for r in rows if r.error is not None]
+    assert len(ok) == 32 and len(err) == 1 and err[0].error == "EmptyPayload"
+    # deterministic: same payload -> same features on recompute
+    again = extract_frame_features(media, decoder="fake", n_frames=16, feature_dim=8).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+    assert frame_sample(feats, every=8).where(F.col("error").isNull()).count() == 4
+
+    meta = {r.media_id: r.n_bytes for r in media_metadata(media).collect()}
+    assert meta == {"m1": 11, "m2": 11, "m3": 0}
+
+    with pytest.raises(NotImplementedError):
+        extract_frame_features(media, decoder="real")
