@@ -90,9 +90,12 @@ def _derived_exact(docs: DataFrame) -> DataFrame:
 
 
 def _neardup_signatures(docs: DataFrame) -> DataFrame:
+    """Signatures over the derived corpus, materialized: every consumer
+    (band keys, bucket stats, both sides of the verify join) would otherwise
+    re-run the Arrow UDF stage."""
     return build_signatures(
         _derived_neardup(docs), ENTRY_CFG, id_col="doc_id", text_col="text"
-    )
+    ).localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +198,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 core: MinHash LSH band self-join candidates, exact-Jaccard verify.
     Equals the exact oracle iff LSH recall is 1 at this config (it is, to
     P > 0.99998 per pair)."""
-    sigs = _neardup_signatures(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    sigs = _neardup_signatures(_docs(spark, sf_dir))
     pairs, _quarantined = candidate_pairs(sigs, ENTRY_CFG)
     edges = verified_edges(
         pairs,
@@ -242,7 +245,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared: verified LSH edges over the derived near-dup corpus."""
-    sigs = _neardup_signatures(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    sigs = _neardup_signatures(_docs(spark, sf_dir))
     pairs, _q = candidate_pairs(sigs, ENTRY_CFG)
     return verified_edges(
         pairs, sigs, ENTRY_CFG, jaccard_num_den=(JACCARD_NUM, JACCARD_DEN), length_band=False
@@ -451,8 +454,12 @@ def q_refs_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") >= 100000) & ((F.col("doc_id") - 100000) % 50 == 0)
     )
     cands = derived.where(F.col("doc_id") < 100000)
-    ref_sigs = build_signatures(refs, ENTRY_CFG, id_col="doc_id", text_col="text")
-    cand_sigs = build_signatures(cands, ENTRY_CFG, id_col="doc_id", text_col="text")
+    ref_sigs = build_signatures(refs, ENTRY_CFG, id_col="doc_id", text_col="text").localCheckpoint(
+        eager=True
+    )
+    cand_sigs = build_signatures(cands, ENTRY_CFG, id_col="doc_id", text_col="text").localCheckpoint(
+        eager=True
+    )
     rk = band_keys(ref_sigs, ENTRY_CFG).select("band_id", "band_hash", F.col("id").alias("id1"))
     ck = band_keys(cand_sigs, ENTRY_CFG).select("band_id", "band_hash", F.col("id").alias("id2"))
     pairs = rk.join(ck, ["band_id", "band_hash"]).select("id1", "id2").distinct()

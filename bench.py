@@ -1,0 +1,91 @@
+"""Bench harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" (per-query sec),
+"sf", plus docs/sec throughput of the end-to-end dedup pipeline}.
+
+Session/JVM startup is excluded from timings (it is a fixed cost that
+vanishes at cluster scale); each query timing includes its full plan
+execution to a count/collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entry
+    from vid_dup_finder_lib_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [
+        "signatures_basic",
+        "exact_dup_groups",
+        "minhash_lsh_pairs",
+        "ngram_jaccard_pairs",
+        "connected_components",
+        "simhash_pairs",
+        "length_band_pairs",
+        "refs_search",
+        "ann_topk",
+    ]
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    t_total0 = time.time()
+    for name in headline:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # end-to-end pipeline throughput on the derived near-dup corpus
+    from vid_dup_finder_lib_spark.operators.grouping import cc_groups
+
+    from vid_dup_finder_lib_spark.operators.lsh import candidate_pairs
+    from vid_dup_finder_lib_spark.operators.signatures import build_signatures
+    from vid_dup_finder_lib_spark.operators.verify import verified_edges
+
+    derived = entry._derived_neardup(entry._docs(spark, sf_dir)).localCheckpoint(eager=True)
+    n_docs = derived.count()
+    t0 = time.time()
+    sigs = build_signatures(derived, entry.ENTRY_CFG, id_col="doc_id", text_col="text")
+    sigs = sigs.localCheckpoint(eager=True)
+    pairs, _q = candidate_pairs(sigs, entry.ENTRY_CFG)
+    edges = verified_edges(
+        pairs, sigs, entry.ENTRY_CFG,
+        jaccard_num_den=(entry.JACCARD_NUM, entry.JACCARD_DEN), length_band=False,
+    ).localCheckpoint(eager=True)
+    n_groups = cc_groups(edges).count()
+    t_pipeline = round(time.time() - t0, 3)
+    timings["pipeline_e2e"] = t_pipeline
+    print(f"# pipeline: {n_docs} docs -> {n_groups} grouped in {t_pipeline}s", file=sys.stderr)
+
+    total = round(time.time() - t_total0, 3)
+    out = {
+        "metric": "dedup_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "pipeline_docs_per_sec": round(n_docs / t_pipeline, 1),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Structured Streaming ingest + spark-submit job CLI smoke tests."""
+
+from vid_dup_finder_lib_spark.config import SigConfig
+from vid_dup_finder_lib_spark.corpus import DOCS_SCHEMA, CorpusBuilder
+
+CFG = SigConfig(num_perms=128, lsh_bands=128, seed=42)
+
+
+def test_stream_signatures_available_now(spark, tmp_path):
+    from vid_dup_finder_lib_spark.streaming.ingest import (
+        read_signature_table,
+        stream_signatures,
+    )
+
+    src = str(tmp_path / "docs")
+    tgt = str(tmp_path / "sigs")
+    ckpt = str(tmp_path / "ckpt")
+
+    cb = CorpusBuilder(seed=71)
+    cb.add_singletons(12, 300, 500, site=4)
+    cb.to_spark(spark, partitions=2).write.parquet(src)
+
+    stream_signatures(spark, src, tgt, ckpt, CFG, schema=DOCS_SCHEMA)
+    first = read_signature_table(spark, tgt)
+    assert first.count() == 12
+
+    # a second drop of files is picked up incrementally (streaming offsets)
+    cb2 = CorpusBuilder(seed=72)
+    cb2.add_singletons(5, 300, 500, site=5)
+    cb2.to_spark(spark, partitions=1).write.mode("append").parquet(src)
+    stream_signatures(spark, src, tgt, ckpt, CFG, schema=DOCS_SCHEMA)
+    assert read_signature_table(spark, tgt).count() == 17
+
+
+def test_job_cli_end_to_end(spark, tmp_path):
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=73)
+    cb.make_clusters(
+        num_clusters=2, first_size=4, size_step=1, intra_d=20, inter_d=200, doclen=400
+    )
+    docs_path = str(tmp_path / "docs")
+    cb.to_spark(spark, partitions=2).write.parquet(docs_path)
+    out_path = str(tmp_path / "groups")
+
+    rc = job.main(
+        [
+            "--docs", docs_path,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--tolerance", "0.100",
+            "--output", out_path,
+        ]
+    )
+    assert rc == 0
+    groups = spark.read.parquet(out_path)
+    sizes = sorted(r["count"] for r in groups.groupBy("cluster_id").count().collect())
+    assert sizes == [4, 5]

@@ -76,22 +76,27 @@ def minhash_signatures(
 def simhash_values(
     flat: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, bits: int = 64
 ) -> np.ndarray:
-    """(n_docs,) int64 SimHash; empty rows get 0."""
+    """(n_docs,) int64 SimHash; empty rows get 0.
+
+    One shift+mask+reduceat pass per bit — no (total, bits) 2D expansion
+    (the obvious formulation allocates hundreds of MB per Arrow batch and
+    stalls on cold pages).  Majority vote per bit: set iff ones > len/2;
+    exact ties -> 0.
+    """
     n = len(lengths)
     out = np.zeros(n, dtype=np.int64)
     if len(flat) == 0:
         return out
-    u = flat.astype(np.uint64)
-    shifts = np.arange(bits, dtype=np.uint64)
-    # (total, bits) in {+1,-1}; int8 keeps the expansion at 64 B per feature.
-    votes = (((u[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8) * 2 - 1)
+    u = flat.view(np.uint64) if flat.dtype == np.int64 else flat.astype(np.uint64)
     nonempty = lengths > 0
     dense_offsets = offsets[nonempty]
-    sums = np.add.reduceat(votes.astype(np.int32), dense_offsets, axis=0)
-    bitvals = (sums > 0).astype(np.uint64)
+    dense_lengths = lengths[nonempty].astype(np.uint64)
     packed = np.zeros(len(dense_offsets), dtype=np.uint64)
+    one = np.uint64(1)
     for i in range(bits):
-        packed |= bitvals[:, i] << np.uint64(i)
+        b = (u >> np.uint64(i)) & one
+        ones = np.add.reduceat(b, dense_offsets)
+        packed |= (ones * np.uint64(2) > dense_lengths).astype(np.uint64) << np.uint64(i)
     out[nonempty] = packed.view(np.int64)
     return out
 

@@ -1,0 +1,71 @@
+"""spark-submit entry point.
+
+Usage (cluster):
+    spark-submit --py-files vid_dup_finder_lib_spark.zip \
+        -m vid_dup_finder_lib_spark.plans.job \
+        --docs s3://corpus/docs --checkpoint s3://state/run1 --tolerance 0.2
+
+Usage (local, as packaged here):
+    python -m vid_dup_finder_lib_spark.plans.job \
+        --docs /path/docs.parquet --checkpoint /tmp/ckpt --tolerance 0.2
+
+The CLI mirrors the reference app's surface (``vid_dup_finder_app``:
+``--files``/``--with-refs``/``--matchdb`` -> --docs/--refs/--confirmed/
+--falsepos; SURVEY.md §3.3) and re-runs resume from the checkpoint store.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="near-dup detection pipeline")
+    p.add_argument("--docs", required=True, help="parquet path of the docs table")
+    p.add_argument("--checkpoint", required=True, help="checkpoint store root")
+    p.add_argument("--tolerance", type=float, default=None)
+    p.add_argument("--grouping", choices=["cc", "matchset"], default="cc")
+    p.add_argument("--confirmed", help="parquet of confirmed pairs (id1,id2)")
+    p.add_argument("--falsepos", help="parquet of falsepos pairs (id1,id2)")
+    p.add_argument("--id-col", default="url")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--ts-col", default="warc_ts")
+    p.add_argument("--output", help="write groups to this parquet path")
+    p.add_argument("--force", action="store_true", help="ignore completed stages")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from vid_dup_finder_lib_spark.config import DEFAULT_CONFIG
+    from vid_dup_finder_lib_spark.plans.pipeline import run_dedup_pipeline
+
+    spark = SparkSession.builder.appName("vid-dup-finder-spark-job").getOrCreate()
+    docs = spark.read.parquet(args.docs)
+    confirmed = spark.read.parquet(args.confirmed) if args.confirmed else None
+    falsepos = spark.read.parquet(args.falsepos) if args.falsepos else None
+
+    res = run_dedup_pipeline(
+        spark,
+        docs,
+        args.checkpoint,
+        tolerance=args.tolerance,
+        cfg=DEFAULT_CONFIG,
+        grouping=args.grouping,
+        confirmed=confirmed,
+        falsepos=falsepos,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        ts_col=args.ts_col,
+        force=args.force,
+    )
+    if args.output:
+        res.groups.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({k: {kk: m[kk] for kk in ("row_count", "wall_seconds")}
+                      for k, m in res.metrics.items() if "row_count" in m}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
