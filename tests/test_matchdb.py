@@ -49,15 +49,11 @@ def test_falsepos_edges_never_merge_clusters(spark, corpus):
     docs, edges, urls = corpus
     # poison: claim 5 cross-cluster pairs are dups, then mark them falsepos
     cross = [(urls[0][i], urls[1][i]) for i in range(5)]
-    poisoned = edges.unionByName(
-        _pairs_df(spark, cross)
-        .withColumn("token_hamming", F.lit(0).cast("long"))
-        .withColumn("inter_count", F.lit(0).cast("long"))
-        .withColumn("union_count", F.lit(0).cast("long"))
-        .withColumn("simhash_hamming", F.lit(0).cast("int"))
-        .withColumn("len1", F.lit(1000).cast("long"))
-        .withColumn("len2", F.lit(1000).cast("long"))
-    )
+    poison = _pairs_df(spark, cross)
+    for name, dtype in edges.dtypes:
+        if name not in ("id1", "id2"):
+            poison = poison.withColumn(name, F.lit(0).cast(dtype))
+    poisoned = edges.unionByName(poison.select(*edges.columns))
     merged = cc_groups(poisoned)
     assert len(set(r.cluster_id for r in merged.collect())) == 1  # sanity: poison merges
 

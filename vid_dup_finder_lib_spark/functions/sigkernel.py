@@ -55,7 +55,7 @@ def _list_array(offsets: np.ndarray, values: np.ndarray, null_mask=None) -> pa.L
 
 
 def compute_signatures_arrow(
-    ids: pa.Array, texts: pa.Array, cfg: SigConfig
+    ids: pa.Array, texts: pa.Array, cfg: SigConfig, include_token_hashes: bool = True
 ) -> pa.RecordBatch:
     n = len(texts)
     null_mask = pc.is_null(texts).to_numpy(zero_copy_only=False)
@@ -146,7 +146,15 @@ def compute_signatures_arrow(
         for t in texts_py
     ]
 
-    tok_list_offsets = np.concatenate([offsets, [total]]).astype(np.int32)
+    if include_token_hashes:
+        tok_list_offsets = np.concatenate([offsets, [total]]).astype(np.int32)
+        tok_arr = _list_array(tok_list_offsets, th.view(np.int64))
+    else:
+        # positional token arrays are by far the widest column; skip them
+        # when the caller's verify path is Jaccard-only
+        tok_arr = _list_array(
+            np.zeros(n + 1, dtype=np.int32), np.empty(0, dtype=np.int64)
+        )
     sh_list_offsets = np.concatenate([d_offsets, [len(dv_i64)]]).astype(np.int32)
     # minhash rows are fixed-width num_perms; error rows become null lists
     mh_flat = mh[~err_mask].reshape(-1)
@@ -157,7 +165,7 @@ def compute_signatures_arrow(
         [
             pc.cast(ids, pa.string()),
             pa.array(lengths, type=pa.int64()),
-            _list_array(tok_list_offsets, th.view(np.int64)),
+            tok_arr,
             pa.array(sh_counts, type=pa.int64()),
             _list_array(sh_list_offsets, dv_i64),
             _list_array(mh_offsets.astype(np.int32), mh_flat, null_mask=err_mask),
@@ -174,12 +182,14 @@ def compute_signatures_arrow(
     )
 
 
-def signature_map_fn(cfg: SigConfig, id_col: str, text_col: str):
+def signature_map_fn(
+    cfg: SigConfig, id_col: str, text_col: str, include_token_hashes: bool = True
+):
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             ids = batch.column(batch.schema.get_field_index(id_col))
             texts = batch.column(batch.schema.get_field_index(text_col))
-            yield compute_signatures_arrow(ids, texts, cfg)
+            yield compute_signatures_arrow(ids, texts, cfg, include_token_hashes)
 
     return fn
 

@@ -25,12 +25,20 @@ def connected_components(
     id1: str = "id1",
     id2: str = "id2",
     max_iterations: int = 50,
+    rows_per_partition: int = 500_000,
 ) -> DataFrame:
     """edges (id1, id2) -> assignment (id, component) where component is the
     minimum member id of the node's component.
 
     Nodes only appear if they occur in an edge; isolated docs are handled by
     the caller (grouping.assign_clusters joins back to the full corpus).
+
+    Partitioning: each iteration is a join + groupBy materialized by
+    ``localCheckpoint`` — an action that runs *before* AQE can coalesce, so
+    the loop would otherwise pay full shuffle-partition fan-out per round on
+    an edge set that is typically tiny relative to the corpus.  The edge
+    count (already needed for the empty check) sizes the loop's partitioning
+    explicitly: ~rows_per_partition rows per partition, floor 1.
     """
     sym = (
         edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
@@ -38,6 +46,12 @@ def connected_components(
         .distinct()
     )
     sym = sym.localCheckpoint(eager=True)
+    n_edges = sym.count()
+    spark = edges.sparkSession
+    default_par = spark.sparkContext.defaultParallelism
+    npart = int(max(1, min(default_par * 2, n_edges // rows_per_partition + 1)))
+    if npart < sym.rdd.getNumPartitions():
+        sym = sym.repartition(npart, "dst").localCheckpoint(eager=True)
 
     labels = (
         sym.groupBy("src")

@@ -38,6 +38,7 @@ def build_signatures(
     cfg: SigConfig,
     id_col: str = "url",
     text_col: str = "text",
+    include_token_hashes: bool = True,
 ) -> DataFrame:
     """Returns ``(id, doclen, token_hashes, shingle_count, shingle_hashes,
     minhash, simhash, content_hash, error)``.
@@ -48,7 +49,8 @@ def build_signatures(
     """
     narrow = docs.select(id_col, text_col)
     out = narrow.mapInArrow(
-        signature_map_fn(cfg, id_col, text_col), schema=SIGNATURE_SCHEMA
+        signature_map_fn(cfg, id_col, text_col, include_token_hashes),
+        schema=SIGNATURE_SCHEMA,
     )
     # the Arrow kernel's schema is static (id: string); restore the input id
     # type so ordering semantics (pair normalization, CC min-label) match the

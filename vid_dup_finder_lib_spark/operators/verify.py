@@ -38,37 +38,49 @@ def token_hamming_col(t1: Column, t2: Column) -> Column:
     )
 
 
-def attach_signatures(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
-    """(id1, id2) -> pair rows carrying both sides' signature columns."""
-    s1 = signatures.select(
-        F.col("id").alias("id1"),
-        F.col("doclen").alias("len1"),
-        F.col("shingle_hashes").alias("sh1"),
-        F.col("shingle_count").alias("sc1"),
-        F.col("token_hashes").alias("th1"),
-        F.col("simhash").alias("simhash1"),
-    )
-    s2 = signatures.select(
-        F.col("id").alias("id2"),
-        F.col("doclen").alias("len2"),
-        F.col("shingle_hashes").alias("sh2"),
-        F.col("shingle_count").alias("sc2"),
-        F.col("token_hashes").alias("th2"),
-        F.col("simhash").alias("simhash2"),
-    )
+def attach_signatures(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    need_shingles: bool = True,
+    need_tokens: bool = True,
+) -> DataFrame:
+    """(id1, id2) -> pair rows carrying both sides' signature columns.
+
+    The two joins each shuffle the signature arrays to the pair keys —
+    at corpus scale these arrays dominate the stage's bytes, so only the
+    columns the active predicates need are shipped (the caller's manual
+    column pruning; Catalyst prunes expressions but can't know which
+    distances the verify step will use).
+    """
+    cols = [("id", "id{}"), ("doclen", "len{}"), ("simhash", "simhash{}")]
+    if need_shingles:
+        cols += [("shingle_hashes", "sh{}"), ("shingle_count", "sc{}")]
+    if need_tokens:
+        cols += [("token_hashes", "th{}")]
+    s1 = signatures.select(*[F.col(c).alias(a.format(1)) for c, a in cols])
+    s2 = signatures.select(*[F.col(c).alias(a.format(2)) for c, a in cols])
     return pairs.join(s1, "id1").join(s2, "id2")
 
 
 def with_distances(pairs_sig: DataFrame) -> DataFrame:
-    """Adds inter/union (exact ints), token_hamming, simhash_hamming."""
-    inter = F.size(F.array_intersect("sh1", "sh2")).cast("long")
-    return pairs_sig.withColumn("inter_count", inter).select(
-        "*",
-        (F.col("sc1") + F.col("sc2") - F.col("inter_count")).alias("union_count"),
-        token_hamming_col(F.col("th1"), F.col("th2")).alias("token_hamming"),
-        F.bit_count(F.col("simhash1").bitwiseXOR(F.col("simhash2"))).cast("int").alias(
-            "simhash_hamming"
-        ),
+    """Adds the distance columns computable from the attached signature
+    columns: inter/union (exact ints) when shingles are present,
+    token_hamming when token hashes are present, simhash_hamming always."""
+    out = pairs_sig
+    cols = set(pairs_sig.columns)
+    if "sh1" in cols:
+        out = out.withColumn(
+            "inter_count", F.size(F.array_intersect("sh1", "sh2")).cast("long")
+        ).withColumn(
+            "union_count", F.col("sc1") + F.col("sc2") - F.col("inter_count")
+        )
+    if "th1" in cols:
+        out = out.withColumn(
+            "token_hamming", token_hamming_col(F.col("th1"), F.col("th2"))
+        )
+    return out.withColumn(
+        "simhash_hamming",
+        F.bit_count(F.col("simhash1").bitwiseXOR(F.col("simhash2"))).cast("int"),
     )
 
 
@@ -147,22 +159,26 @@ def verified_edges(
 
     Either/both predicates may be active: ``tolerance`` applies the
     reference's scaled Hamming radius on token_hamming; ``jaccard_num_den``
-    applies an exact shingle-Jaccard threshold.
+    applies an exact shingle-Jaccard threshold.  Only the arrays the active
+    predicates need are shuffled to the pair keys.
     """
-    d = with_distances(attach_signatures(pairs, signatures))
+    need_tokens = tolerance is not None
+    need_shingles = jaccard_num_den is not None
+    if not need_tokens and not need_shingles:
+        need_tokens = need_shingles = True  # caller wants all distances
+    d = with_distances(
+        attach_signatures(pairs, signatures, need_shingles=need_shingles, need_tokens=need_tokens)
+    )
     if length_band:
         d = d.where(self_length_band(cfg))
     if tolerance is not None:
         d = d.where(tolerance_predicate(cfg, tolerance))
     if jaccard_num_den is not None:
         d = d.where(jaccard_predicate(*jaccard_num_den))
-    return d.select(
-        "id1",
-        "id2",
-        "token_hamming",
-        "inter_count",
-        "union_count",
-        "simhash_hamming",
-        "len1",
-        "len2",
-    )
+    out_cols = ["id1", "id2", "simhash_hamming", "len1", "len2"]
+    if need_tokens:
+        out_cols.insert(2, "token_hamming")
+    if need_shingles:
+        out_cols.insert(2, "union_count")
+        out_cols.insert(2, "inter_count")
+    return d.select(*out_cols)
