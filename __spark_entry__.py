@@ -519,6 +519,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-pass analog: pairs sharing verbatim 8-token runs, by
+    rolling-window hash equi-join (operators/substring.py)."""
+    from vid_dup_finder_lib_spark.operators.substring import substring_pairs
+
+    derived = _derived_neardup(_docs(spark, sf_dir))
+    return substring_pairs(derived, L=8, id_col="doc_id", text_col="text").select(
+        F.col("id1").cast("long"), F.col("id2").cast("long"), "shared_windows"
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload column + typed metadata
     projection (octet length, content digest)."""
@@ -569,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refs_search": q_refs_search,
         "ann_topk": q_ann_topk,
         "simhash_pairs": q_simhash_pairs,
+        "substring_pairs": q_substring_pairs,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -688,6 +700,20 @@ r AS (
 )
 SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, neighbor_id::BIGINT AS neighbor_id
 FROM r WHERE rank <= 5
+""",
+        "substring_pairs": _SQL_PROLOGUE + r"""
+, win AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 8 THEN
+           list_distinct(list_transform(range(1, len(toks) - 8 + 2),
+             i -> md5(array_to_string(toks[i:i+7], ' '))))
+         ELSE []::VARCHAR[] END AS windows
+  FROM derived
+),
+wex AS (SELECT doc_id, unnest(windows) AS w FROM win WHERE len(windows) > 0)
+SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::BIGINT AS shared_windows
+FROM wex a JOIN wex b ON a.w = b.w AND a.doc_id < b.doc_id
+GROUP BY 1, 2
 """,
         "multimodal_meta": r"""
 SELECT doc_id::BIGINT AS doc_id,

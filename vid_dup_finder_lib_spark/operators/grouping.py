@@ -22,6 +22,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from vid_dup_finder_lib_spark.operators.components import connected_components
 
@@ -37,7 +38,16 @@ def cc_groups(edges: DataFrame) -> DataFrame:
     )
 
 
-_GREEDY_SCHEMA = "cluster_id string, id string, is_seed boolean"
+def _greedy_schema(edges: DataFrame) -> T.StructType:
+    """Output schema follows the caller's id type (urls or numeric ids)."""
+    id_type = edges.schema["id1"].dataType
+    return T.StructType(
+        [
+            T.StructField("cluster_id", id_type),
+            T.StructField("id", id_type),
+            T.StructField("is_seed", T.BooleanType()),
+        ]
+    )
 
 
 def _greedy_matchset(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -89,7 +99,7 @@ def matchset_groups(edges: DataFrame) -> DataFrame:
         assignment.withColumnRenamed("id", "id1"), "id1"
     ).select("component", "id1", "id2", "len1", "len2")
     return e.groupBy("component").applyInPandas(
-        lambda pdf: _greedy_matchset(pdf), schema=_GREEDY_SCHEMA
+        lambda pdf: _greedy_matchset(pdf), schema=_greedy_schema(edges)
     )
 
 

@@ -44,36 +44,100 @@ def band_keys(signatures: DataFrame, cfg: SigConfig) -> DataFrame:
     )
 
 
-def candidate_pairs(
-    signatures: DataFrame, cfg: SigConfig
-) -> tuple[DataFrame, DataFrame]:
-    """All-pairs candidates from band buckets.
+def _salted_pairs(hot_keys: DataFrame, salt_groups: int) -> DataFrame:
+    """All-pairs inside oversized buckets via triangle block-pairing.
 
-    Returns ``(pairs, quarantined_buckets)`` where pairs has columns
-    ``(id1, id2)`` with ``id1 < id2``, distinct across bands, and
-    quarantined_buckets reports ``(band_id, band_hash, bucket_size)`` for
-    buckets exceeding the skew cap (excluded from pairs, counted, surfaced).
+    Each member draws a deterministic salt block b in [0, g); the pair
+    (x, y) is generated exactly once, in the partition keyed by
+    (bucket, min(bx,by), max(bx,by)).  Every such partition holds ~s/g
+    members per side, so no single task ever materializes a full hot
+    bucket — the "salted repartitioning" the north_rule demands, with the
+    same output as the unsalted self-join.
+
+    Replication factor is g per row (each member joins g block-pairs), so
+    g is chosen as ~sqrt(bucket_size / max_bucket_size) by the caller.
+    """
+    g = salt_groups
+    member = hot_keys.select(
+        "band_id",
+        "band_hash",
+        "id",
+        (F.pmod(F.xxhash64("id"), F.lit(g))).cast("int").alias("blk"),
+    )
+    # side A participates in block-pairs (blk, j) for j >= blk; side B in
+    # (i, blk) for i <= blk — together exactly one copy of each block pair.
+    a = member.select(
+        "band_id", "band_hash", F.col("id").alias("id1"), F.col("blk").alias("b1"),
+        F.explode(F.sequence(F.col("blk"), F.lit(g - 1))).alias("b2"),
+    )
+    b = member.select(
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_hash").alias("band_hash_b"),
+        F.col("id").alias("id2"),
+        F.col("blk").alias("blk2"),
+    )
+    joined = a.join(
+        b,
+        (a["band_id"] == b["band_id_b"])
+        & (a["band_hash"] == b["band_hash_b"])
+        & (a["b2"] == b["blk2"]),
+    ).where(
+        # within the diagonal block (b1 == b2) order by id to halve;
+        # across blocks the block-pair orientation already dedupes
+        ((F.col("b1") == F.col("b2")) & (F.col("id1") < F.col("id2")))
+        | (F.col("b1") < F.col("b2"))
+    )
+    return joined.select(
+        F.least("id1", "id2").alias("id1"), F.greatest("id1", "id2").alias("id2")
+    )
+
+
+def candidate_pairs(
+    signatures: DataFrame, cfg: SigConfig, salt_groups: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """All-pairs candidates from band buckets, skew-managed in two tiers.
+
+    * buckets <= max_bucket_size: plain bucket self-join (AQE skew-split
+      handles moderate imbalance);
+    * buckets in (max_bucket_size, max_bucket_size * salt_groups^2]:
+      salted triangle block-pairing (_salted_pairs) — same pairs, bounded
+      per-task memory;
+    * larger still: quarantined and *reported*, never silently dropped.
+
+    Returns ``(pairs, quarantined_buckets)``; pairs are (id1 < id2),
+    distinct across bands and tiers.
     """
     keys = band_keys(signatures, cfg)
 
     sizes = keys.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_size"))
-    quarantined = sizes.where(F.col("bucket_size") > cfg.max_bucket_size)
+    hard_cap = cfg.max_bucket_size * salt_groups * salt_groups
+    quarantined = sizes.where(F.col("bucket_size") > hard_cap)
+    hot = sizes.where(
+        (F.col("bucket_size") > cfg.max_bucket_size)
+        & (F.col("bucket_size") <= hard_cap)
+    )
+
     ok_keys = keys.join(
-        F.broadcast(quarantined.select("band_id", "band_hash")),
+        F.broadcast(
+            sizes.where(F.col("bucket_size") > cfg.max_bucket_size).select(
+                "band_id", "band_hash"
+            )
+        ),
         ["band_id", "band_hash"],
         "left_anti",
     )
-
-    a = ok_keys.select(
-        F.col("band_id"), F.col("band_hash"), F.col("id").alias("id1")
-    )
-    b = ok_keys.select(
-        F.col("band_id"), F.col("band_hash"), F.col("id").alias("id2")
-    )
-    pairs = (
+    a = ok_keys.select("band_id", "band_hash", F.col("id").alias("id1"))
+    b = ok_keys.select("band_id", "band_hash", F.col("id").alias("id2"))
+    plain = (
         a.join(b, ["band_id", "band_hash"])
         .where(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
-        .distinct()
     )
+
+    hot_keys = keys.join(
+        F.broadcast(hot.select("band_id", "band_hash")), ["band_id", "band_hash"], "left_semi"
+    )
+    salted = _salted_pairs(hot_keys, salt_groups).select("id1", "id2")
+
+    pairs = plain.unionByName(salted).distinct()
     return pairs, quarantined

@@ -1,0 +1,157 @@
+"""Long verbatim substring dedup (the north_star's suffix-array pass).
+
+A classical suffix array is a single sorted global structure — the wrong
+shape for a distributed engine.  The Spark-native equivalent for "find
+document pairs sharing a verbatim token run of length >= L" is rolling
+window hashing: every doc emits the set of hashes of its L-token windows
+(distinct per doc), pairs sharing any window hash share a verbatim L-run
+(modulo 64-bit collisions), and the shared-window count approximates overlap
+mass.  The join is the same skew-aware shingle equi-join as ngram Jaccard —
+one shuffle, no global structure.
+
+Optionally windows are *winnowed* (keep 1-in-W by hash value) to trade
+recall for candidate volume at corpus scale: a run of length >= L + W - 1 is
+still guaranteed to produce at least one kept window on both sides only in
+expectation — so winnow=1 (exact) is the default and callers at 10^12 scale
+pick W explicitly and report it (no silent caps).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vid_dup_finder_lib_spark.functions import sigkernel as sk
+
+
+def _window_hash_batch(
+    ids: pa.Array, texts: pa.Array, L: int, winnow: int
+) -> pa.RecordBatch:
+    """(id, window_hashes array<long>) — distinct L-token window hashes."""
+    import pyarrow.compute as pc
+    import pandas as pd
+
+    n = len(texts)
+    norm = pc.utf8_lower(
+        pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.fill_null(texts, ""), pattern=sk._WS_PATTERN, replacement=" "
+            ),
+            characters=" ",
+        )
+    )
+    tokens = pc.split_pattern(norm, pattern=" ")
+    raw_offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    raw_offsets = raw_offsets - raw_offsets[0]
+    lengths = np.diff(raw_offsets)
+    flat = tokens.flatten()
+    empty_rows = pc.equal(norm, "").to_numpy(zero_copy_only=False)
+    lengths = np.where(empty_rows, 0, lengths)
+
+    if len(flat):
+        denc = pc.dictionary_encode(flat)
+        vocab = denc.dictionary.to_pandas().to_numpy(dtype=object)
+        vocab_hash = pd.util.hash_array(vocab)
+        th_all = vocab_hash[denc.indices.to_numpy(zero_copy_only=False)]
+    else:
+        th_all = np.empty(0, dtype=np.uint64)
+    if empty_rows.any():
+        keep = np.ones(len(th_all), dtype=bool)
+        for i in np.flatnonzero(empty_rows):
+            keep[raw_offsets[i] : raw_offsets[i + 1]] = False
+        th = th_all[keep]
+    else:
+        th = th_all
+
+    total = int(lengths.sum())
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    if total >= L:
+        comb = np.zeros(total - L + 1, dtype=np.uint64)
+        for j in range(L):
+            mult = sk._C1 if j < L - 1 else np.uint64(1)
+            comb = comb * sk._C2 + th[j : total - L + 1 + j] * mult
+        valid = row_of[: total - L + 1] == row_of[L - 1 :]
+        w_rows = row_of[: total - L + 1][valid]
+        w_vals = comb[valid]
+    else:
+        w_rows = np.empty(0, dtype=np.int64)
+        w_vals = np.empty(0, dtype=np.uint64)
+
+    if winnow > 1 and len(w_vals):
+        keep = w_vals % np.uint64(winnow) == 0
+        w_rows, w_vals = w_rows[keep], w_vals[keep]
+
+    if len(w_vals):
+        order = np.lexsort((w_vals, w_rows))
+        sr, sv = w_rows[order], w_vals[order]
+        first = np.ones(len(sv), dtype=bool)
+        first[1:] = (sr[1:] != sr[:-1]) | (sv[1:] != sv[:-1])
+        dr, dv = sr[first], sv[first]
+    else:
+        dr = np.empty(0, dtype=np.int64)
+        dv = np.empty(0, dtype=np.uint64)
+
+    counts = np.bincount(dr, minlength=n).astype(np.int64)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.cast(ids, pa.string()),
+            sk._list_array(offs.astype(np.int32), dv.view(np.int64)),
+        ],
+        names=["id", "window_hashes"],
+    )
+
+
+def window_hashes(
+    docs: DataFrame, L: int, id_col: str = "url", text_col: str = "text", winnow: int = 1
+) -> DataFrame:
+    """docs -> (id, window_hashes): distinct L-token rolling window hashes."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            texts = batch.column(batch.schema.get_field_index(text_col))
+            yield _window_hash_batch(ids, texts, L, winnow)
+
+    out = docs.select(id_col, text_col).mapInArrow(
+        fn, schema="id string, window_hashes array<long>"
+    )
+    id_type = docs.schema[id_col].dataType
+    return out.withColumn("id", F.col("id").cast(id_type))
+
+
+def substring_pairs(
+    docs: DataFrame,
+    L: int,
+    min_shared_windows: int = 1,
+    id_col: str = "url",
+    text_col: str = "text",
+    winnow: int = 1,
+    max_window_df: int | None = None,
+) -> DataFrame:
+    """All pairs sharing >= min_shared_windows verbatim L-token windows.
+
+    Returns (id1, id2, shared_windows).  ``max_window_df`` quarantines
+    boilerplate windows above a document-frequency cap from pair generation
+    (the same explicit skew valve as ngram_jaccard_pairs — callers must
+    report it, never default it on).
+    """
+    wh = window_hashes(docs, L, id_col, text_col, winnow)
+    ex = wh.select("id", F.explode("window_hashes").alias("wh"))
+    if max_window_df is not None:
+        hot = ex.groupBy("wh").agg(F.count("*").alias("df")).where(F.col("df") > max_window_df)
+        ex = ex.join(F.broadcast(hot.select("wh")), "wh", "left_anti")
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "wh")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("shared_windows"))
+        .where(F.col("shared_windows") >= min_shared_windows)
+    )
+    return pairs
