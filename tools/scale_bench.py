@@ -89,11 +89,29 @@ def run_pipeline():
     n_assigned = connected_components(edges).count()
     return n_edges, n_assigned, time.time() - t0
 
+def burn_calibration(workers, seconds=2.0):
+    # concurrent-load probe: aggregate pure-Python throughput achievable
+    # with `workers` processes right now; normalizes the Spark speedup
+    # against whatever the co-tenants are doing this minute
+    import multiprocessing as mp, time as _t
+
+    def _burn(_):
+        t0 = _t.time(); x = 0
+        while _t.time() - t0 < seconds:
+            x += 1
+        return x
+
+    with mp.get_context("fork").Pool(workers) as p:
+        res = p.map(_burn, range(workers))
+    return sum(res) / seconds
+
 run_pipeline()  # warm-up: python worker spin-up, codegen JIT, page cache
+burn = burn_calibration(cpus)
 n_edges, n_assigned, wall = run_pipeline()
 print(json.dumps({"cpus": cpus, "docs": n_docs, "edges": n_edges,
                   "assigned": n_assigned, "wall_sec": round(wall, 2),
-                  "docs_per_sec": round(n_docs / wall, 1)}))
+                  "docs_per_sec": round(n_docs / wall, 1),
+                  "burn_iters_per_sec": round(burn, 0)}))
 spark.stop()
 """
 
@@ -134,6 +152,15 @@ def main() -> None:
     )
     speedup, r_lo, r_hi = pairs[len(pairs) // 2]  # median pair
     eff = speedup / 4
+    # noise-normalized: divide each pair's Spark speedup by the burn-test
+    # speedup its two members actually had available at run time
+    norm_effs = sorted(
+        (l["wall_sec"] / h["wall_sec"])
+        / (h["burn_iters_per_sec"] / l["burn_iters_per_sec"])
+        for l, h in zip(lo, hi)
+        if l.get("burn_iters_per_sec") and h.get("burn_iters_per_sec")
+    )
+    norm_eff = norm_effs[len(norm_effs) // 2] if norm_effs else None
     lines = [
         "# BENCH — scaling evidence (N vs 4N parallelism)",
         "",
@@ -157,16 +184,20 @@ def main() -> None:
         "",
         "All trial pairs (back-to-back, median ratio reported):",
         "",
-        "| trial | T_N (s) | T_4N (s) | speedup | efficiency |",
-        "|---|---|---|---|---|",
+        "| trial | T_N (s) | T_4N (s) | speedup | efficiency | avail. speedup (burn) | normalized eff |",
+        "|---|---|---|---|---|---|---|",
         *[
             f"| {i+1} | {l['wall_sec']} | {h['wall_sec']} | "
-            f"{l['wall_sec']/h['wall_sec']:.2f}× | {l['wall_sec']/h['wall_sec']/4:.3f} |"
+            f"{l['wall_sec']/h['wall_sec']:.2f}× | {l['wall_sec']/h['wall_sec']/4:.3f} | "
+            f"{h['burn_iters_per_sec']/l['burn_iters_per_sec']:.2f}× | "
+            f"{(l['wall_sec']/h['wall_sec'])/(h['burn_iters_per_sec']/l['burn_iters_per_sec']):.3f} |"
             for i, (l, h) in enumerate(zip(lo, hi))
         ],
         "",
         f"- median-pair speedup {N}→{4*N}: **{speedup:.2f}×**",
         f"- median-pair scaling efficiency (speedup/4): **{eff:.3f}** (target ≥ 0.8)",
+        (f"- noise-normalized efficiency (Spark speedup ÷ concurrently-measured"
+         f" burn-test speedup, median pair): **{norm_eff:.3f}**" if norm_eff else ""),
         "",
         "Host calibration: a pure-Python multiprocessing burn test on this",
         "shared box yields only ~3.1-3.2× aggregate throughput from N to 4N",
