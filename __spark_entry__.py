@@ -530,6 +530,61 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: include/exclude prefix filter pushed into the scan
+    (filename_pattern.rs semantics over the source column)."""
+    from vid_dup_finder_lib_spark.operators.filters import url_pattern_filter
+
+    docs = _docs(spark, sf_dir)
+    keep = url_pattern_filter(
+        F.col("source"), include_prefixes=["src1"], exclude_prefixes=["src12"]
+    )
+    return docs.where(keep).select(F.col("doc_id").cast("long"), "source")
+
+
+def q_pair_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: all 2-combinations of each cluster's members (--cartesian)."""
+    from vid_dup_finder_lib_spark.operators.grouping import pair_expansion
+
+    cc = q_connected_components(spark, sf_dir).select(
+        "cluster_id", F.col("doc_id").alias("id")
+    )
+    return pair_expansion(cc).select(
+        "cluster_id", F.col("id1").cast("long"), F.col("id2").cast("long")
+    )
+
+
+def q_mode_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-doc modal token (histogram argmax, ties broken
+    lexicographically — the deterministic form of F.mode)."""
+    from pyspark.sql.window import Window
+
+    tok = _tokens(_docs(spark, sf_dir))
+    counts = (
+        tok.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("mode_token"), F.col("cnt").alias("mode_count"))
+    )
+
+
+def q_sampled_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: content-sampling policy — signature over tokens [5, 25) with
+    short-doc fallback; doclen stays the full count (the duration analog)."""
+    sampled_cfg = SigConfig(num_perms=128, lsh_bands=64, seed=42, skip_tokens=5, max_tokens=20)
+    tok = _tokens(_docs(spark, sf_dir))
+    text = tok.select("doc_id", F.array_join("toks", " ").alias("text"))
+    sigs = build_signatures(text, sampled_cfg, id_col="doc_id", text_col="text")
+    return sigs.select(
+        F.col("id").cast("long").alias("doc_id"), "doclen", "shingle_count"
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload column + typed metadata
     projection (octet length, content digest)."""
@@ -582,6 +637,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
         "multimodal_meta": q_multimodal_meta,
+        "prefix_filter": q_prefix_filter,
+        "pair_expansion": q_pair_expansion,
+        "mode_token": q_mode_token,
+        "sampled_signatures": q_sampled_signatures,
     }
 
 
@@ -714,6 +773,41 @@ wex AS (SELECT doc_id, unnest(windows) AS w FROM win WHERE len(windows) > 0)
 SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::BIGINT AS shared_windows
 FROM wex a JOIN wex b ON a.w = b.w AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+""",
+        "prefix_filter": r"""
+SELECT doc_id::BIGINT AS doc_id, source FROM documents
+WHERE source LIKE 'src1%' AND source NOT LIKE 'src12%'
+""",
+        "pair_expansion": prologue_r + sql_cc + r"""
+SELECT a.cluster_id, a.doc_id AS id1, b.doc_id AS id2
+FROM cc a JOIN cc b ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
+""",
+        "mode_token": _SQL_PROLOGUE + r"""
+, tc AS (
+  SELECT doc_id, unnest(toks) AS tok FROM tok
+),
+cnts AS (SELECT doc_id, tok, count(*)::BIGINT AS cnt FROM tc GROUP BY 1, 2),
+ranked AS (
+  SELECT doc_id, tok, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn
+  FROM cnts
+)
+SELECT doc_id, tok AS mode_token, cnt AS mode_count FROM ranked WHERE rn = 1
+""",
+        "sampled_signatures": _SQL_PROLOGUE + r"""
+, win AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS doclen,
+         toks[(CASE WHEN len(toks) > 5 THEN 5 ELSE 0 END) + 1 :
+              least(len(toks), (CASE WHEN len(toks) > 5 THEN 5 ELSE 0 END) + 20)] AS w
+  FROM tok
+)
+SELECT doc_id, doclen,
+       CASE WHEN len(w) >= 3 THEN
+         len(list_distinct(list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))::BIGINT
+       ELSE 0 END AS shingle_count
+FROM win
 """,
         "multimodal_meta": r"""
 SELECT doc_id::BIGINT AS doc_id,

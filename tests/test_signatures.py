@@ -95,3 +95,33 @@ def test_spark_udfs_match_reference(spark):
         else:
             assert r.mh == minhash_reference(row["h"], 16, 42)
             assert r.sh == simhash_reference(row["h"])
+
+
+def test_sampling_policy(spark):
+    """S5 analog (video_hash_builder.rs:85-157): signature covers tokens
+    [skip, skip+max) with short-doc fallback; doclen stays the full count."""
+    import pandas as pd
+    from vid_dup_finder_lib_spark.config import SigConfig
+    from vid_dup_finder_lib_spark.operators.signatures import build_signatures
+
+    cfg = SigConfig(skip_tokens=5, max_tokens=10, seed=42)
+    long_doc = " ".join(f"w{i}" for i in range(40))
+    short_doc = " ".join(f"w{i}" for i in range(4))
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["long", "short"], "text": [long_doc, short_doc]})
+    )
+    rows = {r.id: r for r in build_signatures(df, cfg).collect()}
+    assert rows["long"].doclen == 40            # duration analog: full length
+    assert rows["long"].shingle_count == 8      # 10-token window -> 8 shingles
+    assert len(rows["long"].token_hashes) == 10
+    # short doc falls back to its full stream (here still < shingle_k+skip)
+    assert rows["short"].doclen == 4
+    assert rows["short"].shingle_count == 2     # fallback window = all 4 tokens
+
+    # sampled window [5, 15) equals the signature of the corresponding slice
+    plain = SigConfig(seed=42)
+    sliced = " ".join(f"w{i}" for i in range(5, 15))
+    df2 = spark.createDataFrame(pd.DataFrame({"url": ["s"], "text": [sliced]}))
+    sliced_sig = build_signatures(df2, plain).collect()[0]
+    assert rows["long"].minhash == sliced_sig.minhash
+    assert rows["long"].simhash == sliced_sig.simhash

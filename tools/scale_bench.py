@@ -53,8 +53,13 @@ from vid_dup_finder_lib_spark.operators.lsh import candidate_pairs
 from vid_dup_finder_lib_spark.operators.verify import verified_edges
 from vid_dup_finder_lib_spark.operators.components import connected_components
 
+import os
+os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
 cfg = SigConfig(num_perms=128, lsh_bands=32, seed=42)
-spark = get_spark(app_name=f"scale-{cpus}", cpus=cpus, shuffle_partitions=cpus * 2)
+spark = get_spark(
+    app_name=f"scale-{cpus}", cpus=cpus, shuffle_partitions=cpus * 2,
+    extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "1024"},
+)
 spark.sparkContext.setLogLevel("ERROR")
 
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -89,17 +94,18 @@ def run_pipeline():
     n_assigned = connected_components(edges).count()
     return n_edges, n_assigned, time.time() - t0
 
+def _burn(_):
+    import time as _t
+    t0 = _t.time(); x = 0
+    while _t.time() - t0 < 2.0:
+        x += 1
+    return x
+
 def burn_calibration(workers, seconds=2.0):
     # concurrent-load probe: aggregate pure-Python throughput achievable
     # with `workers` processes right now; normalizes the Spark speedup
     # against whatever the co-tenants are doing this minute
-    import multiprocessing as mp, time as _t
-
-    def _burn(_):
-        t0 = _t.time(); x = 0
-        while _t.time() - t0 < seconds:
-            x += 1
-        return x
+    import multiprocessing as mp
 
     with mp.get_context("fork").Pool(workers) as p:
         res = p.map(_burn, range(workers))

@@ -38,6 +38,13 @@ class SigConfig:
     """
 
     shingle_k: int = 3            # tokens per shingle
+    # content-sampling policy (S5): the reference hashes 10 s of video after
+    # a 15 s skip (definitions.rs:18,29) with graceful short-video fallbacks
+    # (video_hash_builder.rs:85-157).  Text analog: signature over tokens
+    # [skip_tokens, skip_tokens + max_tokens); docs shorter than the skip
+    # fall back to their full token stream.  0/None = whole document.
+    skip_tokens: int = 0
+    max_tokens: int | None = None
     num_perms: int = 128          # MinHash permutations
     lsh_bands: int = 32           # bands (b); rows r = num_perms // bands
     simhash_bits: int = 64

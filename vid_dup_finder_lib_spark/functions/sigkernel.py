@@ -98,6 +98,21 @@ def compute_signatures_arrow(
         th = th_all[keep]
     else:
         th = th_all
+    # content-sampling policy (S5 analog, video_hash_builder.rs:85-157):
+    # signature covers tokens [skip, skip+max) with short-doc fallback;
+    # doclen keeps the FULL count (it is the duration band key, not the
+    # hashed extent — mirroring the reference exactly)
+    full_lengths = lengths
+    if cfg.skip_tokens > 0 or cfg.max_tokens is not None:
+        starts = np.where(lengths > cfg.skip_tokens, cfg.skip_tokens, 0).astype(np.int64)
+        ends = lengths if cfg.max_tokens is None else np.minimum(lengths, starts + cfg.max_tokens)
+        pre_offsets = np.zeros(n, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=pre_offsets[1:])
+        pos = np.arange(int(lengths.sum()), dtype=np.int64) - np.repeat(pre_offsets, lengths)
+        keep_w = (pos >= np.repeat(starts, lengths)) & (pos < np.repeat(ends, lengths))
+        th = th[keep_w]
+        lengths = (ends - starts).astype(np.int64)
+
     total = int(lengths.sum())
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=offsets[1:])
@@ -164,7 +179,7 @@ def compute_signatures_arrow(
     return pa.RecordBatch.from_arrays(
         [
             pc.cast(ids, pa.string()),
-            pa.array(lengths, type=pa.int64()),
+            pa.array(full_lengths, type=pa.int64()),
             tok_arr,
             pa.array(sh_counts, type=pa.int64()),
             _list_array(sh_list_offsets, dv_i64),

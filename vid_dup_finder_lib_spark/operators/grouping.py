@@ -103,6 +103,18 @@ def matchset_groups(edges: DataFrame) -> DataFrame:
     )
 
 
+def pair_expansion(groups: DataFrame) -> DataFrame:
+    """J4: groups -> all 2-combinations of members (the --cartesian output,
+    MatchGroup::dup_combinations, match_group.rs:88-105)."""
+    g1 = groups.select("cluster_id", F.col("id").alias("id1"))
+    g2 = groups.select("cluster_id", F.col("id").alias("id2"))
+    return (
+        g1.join(g2, "cluster_id")
+        .where(F.col("id1") < F.col("id2"))
+        .select("cluster_id", "id1", "id2")
+    )
+
+
 def group_stats(groups: DataFrame, edges: DataFrame) -> DataFrame:
     """Per-group member count + max pairwise distance (search_output.rs:45-60,
     A8) for the output sort modes (O2, search_output.rs:43-79)."""
