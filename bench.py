@@ -41,6 +41,7 @@ def main() -> None:
         "length_band_pairs",
         "refs_search",
         "ann_topk",
+        "substring_pairs",
     ]
     qs = entry.queries()
     timings: dict[str, float] = {}
