@@ -55,3 +55,31 @@ def test_job_cli_end_to_end(spark, tmp_path):
     groups = spark.read.parquet(out_path)
     sizes = sorted(r["count"] for r in groups.groupBy("cluster_id").count().collect())
     assert sizes == [4, 5]
+
+
+def test_job_json_and_unique_outputs(spark, tmp_path):
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=74)
+    cb.make_clusters(
+        num_clusters=1, first_size=3, size_step=0, intra_d=10, inter_d=0, doclen=300
+    )
+    cb.add_singletons(4, 200, 400, site=6)
+    docs_path = str(tmp_path / "docs")
+    cb.to_spark(spark, partitions=2).write.parquet(docs_path)
+
+    rc = job.main(
+        [
+            "--docs", docs_path,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--tolerance", "0.050",
+            "--output", str(tmp_path / "groups.json"),
+            "--output-format", "json",
+            "--output-unique", str(tmp_path / "unique"),
+        ]
+    )
+    assert rc == 0
+    groups = spark.read.json(str(tmp_path / "groups.json"))
+    rows = groups.collect()
+    assert len(rows) == 1 and len(rows[0].members) == 3
+    assert spark.read.parquet(str(tmp_path / "unique")).count() == 4

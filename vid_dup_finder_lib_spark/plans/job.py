@@ -32,7 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="url")
     p.add_argument("--text-col", default="text")
     p.add_argument("--ts-col", default="warc_ts")
-    p.add_argument("--output", help="write groups to this parquet path")
+    p.add_argument("--output", help="write groups to this path")
+    p.add_argument(
+        "--output-format", choices=["parquet", "json"], default="parquet",
+        help="groups sink format (S7: the reference emits text/JSON groups, "
+        "search_output.rs:81-150)",
+    )
+    p.add_argument("--output-unique", help="also write docs with no duplicate (J9)")
     p.add_argument("--force", action="store_true", help="ignore completed stages")
     args = p.parse_args(argv)
 
@@ -61,7 +67,23 @@ def main(argv: list[str] | None = None) -> int:
         force=args.force,
     )
     if args.output:
-        res.groups.write.mode("overwrite").parquet(args.output)
+        if args.output_format == "json":
+            # one JSON object per group, members sorted — the reference's
+            # JSON output shape (search_output.rs:95-110)
+            from pyspark.sql import functions as F
+
+            grouped = res.groups.groupBy("cluster_id").agg(
+                F.sort_array(F.collect_list("id")).alias("members")
+            )
+            grouped.write.mode("overwrite").json(args.output)
+        else:
+            res.groups.write.mode("overwrite").parquet(args.output)
+    if args.output_unique:
+        from vid_dup_finder_lib_spark.operators.matchdb import unique_docs
+
+        unique_docs(docs, res.edges, id_col=args.id_col).select(args.id_col).write.mode(
+            "overwrite"
+        ).parquet(args.output_unique)
     print(json.dumps({k: {kk: m[kk] for kk in ("row_count", "wall_seconds")}
                       for k, m in res.metrics.items() if "row_count" in m}, indent=2))
     return 0
