@@ -105,7 +105,7 @@ def _neardup_signatures(docs: DataFrame) -> DataFrame:
 _SQL_PROLOGUE = r"""
 WITH norm AS (
   SELECT doc_id::BIGINT AS doc_id,
-         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+         lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS norm
   FROM documents
 ),
 tok AS (

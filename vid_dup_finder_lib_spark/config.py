@@ -18,10 +18,10 @@ import hashlib
 import json
 from dataclasses import asdict, dataclass, field
 
-# Mersenne prime 2^61 - 1: modulus for the MinHash universal-hash family.
-# Keeping values < 2^61 lets intermediate products stay in uint64/float-free
-# numpy arithmetic (we use Python-object-free uint64 mod tricks below).
-MERSENNE_61 = (1 << 61) - 1
+# The MinHash universal-hash family lives in functions/hashing.py and uses
+# the 31-bit Mersenne prime (2^31 - 1) over 32-bit-folded shingle hashes:
+# 31-bit a * 32-bit x + 31-bit b stays < 2^64, so the whole family evaluates
+# in native numpy uint64 with no modular-multiplication tricks.
 
 # The reference maps user tolerance t in [0,1] to an integer Hamming radius
 # floor(t * 1000) (definitions.rs:40, search_algorithm.rs:64,82).  We keep the

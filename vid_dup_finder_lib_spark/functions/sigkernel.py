@@ -55,8 +55,16 @@ def _list_array(offsets: np.ndarray, values: np.ndarray, null_mask=None) -> pa.L
 
 
 def compute_signatures_arrow(
-    ids: pa.Array, texts: pa.Array, cfg: SigConfig, include_token_hashes: bool = True
+    ids: pa.Array,
+    texts: pa.Array,
+    cfg: SigConfig,
+    include_token_hashes: bool = True,
+    content_hash: pa.Array | None = None,
 ) -> pa.RecordBatch:
+    """``content_hash`` is normally a passthrough column computed JVM-side
+    (``F.sha2(text, 256)`` in operators/signatures.py) so that no row ever
+    becomes a Python object here; the hashlib fallback below exists only for
+    direct callers of this function and is NOT the production path."""
     n = len(texts)
     null_mask = pc.is_null(texts).to_numpy(zero_copy_only=False)
 
@@ -91,11 +99,9 @@ def compute_signatures_arrow(
         th_all = np.empty(0, dtype=np.uint64)
 
     # drop the phantom '' tokens of empty rows from the flat view
+    # (vectorized: expand the per-row mask to token positions via repeat)
     if empty_rows.any():
-        keep = np.ones(len(th_all), dtype=bool)
-        for i in np.flatnonzero(empty_rows):
-            keep[raw_offsets[i] : raw_offsets[i + 1]] = False
-        th = th_all[keep]
+        th = th_all[~np.repeat(empty_rows, np.diff(raw_offsets))]
     else:
         th = th_all
     # content-sampling policy (S5 analog, video_hash_builder.rs:85-157):
@@ -155,11 +161,16 @@ def compute_signatures_arrow(
         null_mask, ERR_NULL_TEXT, np.where(sh_counts == 0, ERR_TOO_SHORT, None)
     )
 
-    texts_py = texts.to_pylist()
-    content_hash = [
-        None if t is None else hashlib.sha256(t.encode("utf-8")).hexdigest()
-        for t in texts_py
-    ]
+    if content_hash is None:
+        # fallback for direct callers only; the plan path passes the JVM
+        # sha2 projection through (zero Python-object materialization)
+        content_hash = pa.array(
+            [
+                None if t is None else hashlib.sha256(t.encode("utf-8")).hexdigest()
+                for t in texts.to_pylist()
+            ],
+            type=pa.string(),
+        )
 
     if include_token_hashes:
         tok_list_offsets = np.concatenate([offsets, [total]]).astype(np.int32)
@@ -187,7 +198,9 @@ def compute_signatures_arrow(
             pa.array(
                 np.where(err_mask, 0, sh64), type=pa.int64(), mask=err_mask
             ),
-            pa.array(content_hash, type=pa.string()),
+            content_hash.combine_chunks()
+            if isinstance(content_hash, pa.ChunkedArray)
+            else content_hash,
             pa.array(errors.tolist(), type=pa.string()),
         ],
         names=[
@@ -204,7 +217,9 @@ def signature_map_fn(
         for batch in batches:
             ids = batch.column(batch.schema.get_field_index(id_col))
             texts = batch.column(batch.schema.get_field_index(text_col))
-            yield compute_signatures_arrow(ids, texts, cfg, include_token_hashes)
+            ch_idx = batch.schema.get_field_index("content_hash")
+            ch = batch.column(ch_idx) if ch_idx >= 0 else None
+            yield compute_signatures_arrow(ids, texts, cfg, include_token_hashes, ch)
 
     return fn
 

@@ -17,11 +17,14 @@ def normalize_text(text: Column) -> Column:
     """Whitespace-collapse + trim + lowercase.
 
     Analog of luma centering (dct_3d.rs:69-78): a cheap canonicalization
-    applied before signature extraction.  Kept deliberately simple so the
-    DuckDB oracle can reproduce it exactly:
-    ``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))``.
+    applied before signature extraction.  The whitespace class is spelled out
+    explicitly — ``[ \\t\\n\\r\\f\\x0B]+`` — because the three engines'
+    ``\\s`` disagree on vertical tab (Java and Arrow/RE2 include \\x0B,
+    DuckDB's RE2 ``\\s`` does not); the explicit class is identical in all
+    three, matching the Arrow kernel (sigkernel._WS_PATTERN) and the DuckDB
+    oracle bit-for-bit.
     """
-    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.lower(F.trim(F.regexp_replace(text, r"[ \t\n\r\f\x0B]+", " ")))
 
 
 def tokens_col(norm_text: Column) -> Column:

@@ -1,23 +1,88 @@
 """Iterative connected components over an edge DataFrame.
 
 Replaces the reference's driver-side union-find
-(``vid_dup_finder_app/src/app/disjoint_set.rs:8-124``) with a distributed
-min-label propagation loop (the alternating large-star/small-star family;
-see BTS, ICDE 2024 in PAPERS.md).  Each iteration:
+(``vid_dup_finder_app/src/app/disjoint_set.rs:8-124``) with the alternating
+**large-star / small-star** contraction of Kiveris et al. ("Connected
+Components in MapReduce and Beyond"; see PAPERS.md):
 
-    label(v) <- min(label(v), min over neighbors u of label(u))
+* large-star: every node connects its strictly-larger neighbors to the
+  minimum of its closed neighborhood;
+* small-star: every node connects its smaller-or-equal neighbors to that
+  minimum.
 
-over symmetrized edges, with ``localCheckpoint()`` per round to cut lineage
-(a Spark-specific must for iterative plans) and an exact changed-row count as
-the convergence test.  Dup clusters are dense and shallow, so rounds ~
-O(cluster diameter) ~ 2-4 in practice; the edge table — not driver memory —
-is the only state, which is what lets this run at 10^12 nodes.
+Both operations preserve connectivity and converge to a **star forest rooted
+at each component's minimum id** in O(log^2 n) rounds (O(log n) observed) —
+unlike plain min-label propagation, which needs O(component diameter) rounds
+and silently mislabels path-shaped components (chained substring dupes:
+A overlaps B overlaps C ...) when an iteration cap is hit.  Here hitting the
+cap RAISES: a partial clustering is a wrong answer, not a degraded one
+(the repo rule: nothing is silently dropped).
+
+Each round materializes via ``localCheckpoint()`` to cut lineage (the
+Spark-iterative must-do); the edge table — never driver memory — is the only
+state, which is what lets this run at 10^12 nodes.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConvergenceError(RuntimeError):
+    """Raised when the CC loop hits max_iterations before the edge set is a
+    star forest.  Never expected in practice (convergence is O(log^2 n));
+    raising beats returning a silently-wrong partial labeling."""
+
+
+def _canonical(edges: DataFrame, c1: str, c2: str) -> DataFrame:
+    """Input pairs -> distinct canonical (lo, hi) with lo < hi."""
+    return (
+        edges.select(
+            F.least(F.col(c1), F.col(c2)).alias("lo"),
+            F.greatest(F.col(c1), F.col(c2)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(lo,hi) -> (lo,hi): connect each node's larger neighbors to the min of
+    its closed neighborhood.  Output stays canonical: m(u) <= u < v."""
+    sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionAll(
+        e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("u", "mn").alias("mu"))
+    return (
+        sym.where(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .where(F.col("mu") != F.col("v"))
+        .select(F.col("mu").alias("lo"), F.col("v").alias("hi"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """(lo,hi) -> (lo,hi): orient edges large->small; connect each node's
+    smaller neighbors (and itself) to its minimum neighbor."""
+    # canonical (lo, hi) is already the large->small orientation: u=hi, v=lo
+    m = e.groupBy("hi").agg(F.min("lo").alias("mu"))
+    withm = e.join(m, "hi")
+    to_min = withm.where(F.col("lo") != F.col("mu")).select(
+        F.col("mu").alias("lo"), F.col("lo").alias("hi")
+    )
+    keep_root = m.select(F.col("mu").alias("lo"), F.col("hi"))
+    return to_min.unionAll(keep_root).distinct()
+
+
+def _differs(a: DataFrame, b: DataFrame) -> bool:
+    """True iff canonical edge sets a and b differ (both are distinct sets,
+    so one anti-join direction plus a count-equality suffices)."""
+    if a.count() != b.count():
+        return True
+    return a.join(b, ["lo", "hi"], "left_anti").limit(1).count() > 0
 
 
 def connected_components(
@@ -33,56 +98,45 @@ def connected_components(
     Nodes only appear if they occur in an edge; isolated docs are handled by
     the caller (grouping.assign_clusters joins back to the full corpus).
 
-    Partitioning: each iteration is a join + groupBy materialized by
-    ``localCheckpoint`` — an action that runs *before* AQE can coalesce, so
-    the loop would otherwise pay full shuffle-partition fan-out per round on
-    an edge set that is typically tiny relative to the corpus.  The edge
-    count (already needed for the empty check) sizes the loop's partitioning
-    explicitly: ~rows_per_partition rows per partition, floor 1.
+    Partitioning: each round is joins + groupBys materialized by
+    ``localCheckpoint`` — an action — so the loop sizes its partitioning
+    explicitly from the edge count (~rows_per_partition rows per partition,
+    floor 1) instead of paying full shuffle-partition fan-out per round on an
+    edge set that is typically tiny relative to the corpus.
+
+    Raises ConvergenceError if max_iterations rounds pass without reaching a
+    star forest (never observed; plain min-propagation's silent-mislabel
+    failure mode is exactly what this replaces).
     """
-    sym = (
-        edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
-        .union(edges.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
-        .distinct()
-    )
-    sym = sym.localCheckpoint(eager=True)
-    n_edges = sym.count()
+    e = _canonical(edges, id1, id2).localCheckpoint(eager=True)
+    n_edges = e.count()
     spark = edges.sparkSession
+    if n_edges == 0:
+        return e.select(F.col("lo").alias("id"), F.col("hi").alias("component"))
+
     default_par = spark.sparkContext.defaultParallelism
     npart = int(max(1, min(default_par * 2, n_edges // rows_per_partition + 1)))
-    if npart < sym.rdd.getNumPartitions():
-        sym = sym.repartition(npart, "dst").localCheckpoint(eager=True)
+    if npart < e.rdd.getNumPartitions():
+        e = e.repartition(npart, "lo").localCheckpoint(eager=True)
 
-    labels = (
-        sym.groupBy("src")
-        .agg(F.min("dst").alias("min_dst"))
-        .select(
-            F.col("src").alias("id"),
-            F.least(F.col("min_dst"), F.col("src")).alias("component"),
-        )
-        .localCheckpoint(eager=True)
-    )
-
+    converged = False
     for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-                (F.coalesce("nbr_component", F.col("component")) < F.col("component")).alias(
-                    "_changed"
-                ),
-            )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.where("_changed").limit(1).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
+        e1 = _large_star(e).localCheckpoint(eager=True)
+        e2 = _small_star(e1).localCheckpoint(eager=True)
+        if not _differs(e1, e) and not _differs(e2, e1):
+            converged = True
             break
-    return labels
+        e = e2
+    if not converged:
+        raise ConvergenceError(
+            f"connected_components did not converge within {max_iterations} "
+            "large-star/small-star rounds — refusing to return a partial "
+            "(wrong) clustering"
+        )
+
+    # star forest: every (lo, hi) edge has lo = component minimum
+    children = e.select(F.col("hi").alias("id"), F.col("lo").alias("component"))
+    roots = e.select(F.col("lo").alias("id"), F.col("lo").alias("component")).distinct()
+    return children.unionByName(roots).groupBy("id").agg(
+        F.min("component").alias("component")
+    )

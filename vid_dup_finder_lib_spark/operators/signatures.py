@@ -47,7 +47,15 @@ def build_signatures(
     band key (video_hash.rs:31); ``content_hash`` the blake3 exact-dup key
     (file_hash_filesystem_cache.rs:39-56).
     """
-    narrow = docs.select(id_col, text_col)
+    from pyspark.sql import functions as F
+
+    # content_hash is computed JVM-side (codegen sha2 over the UTF-8 bytes —
+    # identical value to hashlib.sha256(text.encode()).hexdigest()) and passed
+    # through the Arrow kernel untouched: the signature stage never turns a
+    # document into a Python object.
+    narrow = docs.select(
+        id_col, text_col, F.sha2(F.col(text_col), 256).alias("content_hash")
+    )
     out = narrow.mapInArrow(
         signature_map_fn(cfg, id_col, text_col, include_token_hashes),
         schema=SIGNATURE_SCHEMA,
@@ -55,7 +63,6 @@ def build_signatures(
     # the Arrow kernel's schema is static (id: string); restore the input id
     # type so ordering semantics (pair normalization, CC min-label) match the
     # caller's key domain — '100002' < '2' as strings, not as numbers
-    from pyspark.sql import functions as F
 
     id_type = docs.schema[id_col].dataType
     return out.withColumn("id", F.col("id").cast(id_type))

@@ -52,6 +52,10 @@ def attach_signatures(
     column pruning; Catalyst prunes expressions but can't know which
     distances the verify step will use).
     """
+    # pairs may arrive carrying prior len1/len2 etc. (e.g. length_band_pairs
+    # output) — keep only the keys so the doclen->len1/len2 aliases below can
+    # never collide into an ambiguous-reference AnalysisException
+    pairs = pairs.select("id1", "id2")
     cols = [("id", "id{}"), ("doclen", "len{}"), ("simhash", "simhash{}")]
     if need_shingles:
         cols += [("shingle_hashes", "sh{}"), ("shingle_count", "sc{}")]

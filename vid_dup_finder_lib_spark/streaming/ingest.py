@@ -7,8 +7,16 @@ the docs table grows as a stream (e.g. WARC drops landing in object
 storage): ``readStream`` over the docs source -> the exact same Arrow
 signature stage -> ``foreachBatch`` merge into the signatures checkpoint
 table.  Because the signature stage is stateless per-row, no watermarks or
-stateful operators are needed; exactly-once comes from the streaming
-checkpoint + idempotent per-id overwrite in the merge.
+stateful operators are needed.
+
+Delivery contract: the sink is **append-only with batch lineage** — each
+foreachBatch write lands rows tagged ``_batch_id``; a replayed batch appends
+duplicate rows rather than overwriting.  Exactly-once semantics therefore
+hold at the *read path*: ``read_signature_table`` (the sole documented way to
+read this table) keeps the latest row per id.  A raw
+``spark.read.parquet(target_dir)`` may observe replay duplicates by design.
+At cluster scale the merge body is an Iceberg ``MERGE INTO`` (true idempotent
+upsert), isolated behind ``merge_batch`` so nothing else changes.
 """
 
 from __future__ import annotations
@@ -42,9 +50,9 @@ def stream_signatures(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sigs = build_signatures(batch_df, cfg, id_col, text_col)
-        # idempotent append keyed by id: replayed batches rewrite the same
-        # rows; readers dedupe on (id, max batch) — at cluster scale this is
-        # an Iceberg MERGE INTO, isolated here behind one function.
+        # append with batch lineage: replayed batches re-append the same ids;
+        # read_signature_table dedupes on (id, max _batch_id).  At cluster
+        # scale this body is an Iceberg MERGE INTO (true upsert).
         (
             sigs.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("append")
