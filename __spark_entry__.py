@@ -585,6 +585,34 @@ def q_sampled_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4 letterbox-crop analog: strip high-document-frequency leading/
+    trailing lines.  Derived corpus plants a 2-line header on every doc and a
+    footer on 4/5 of docs around the normalized body; the strip must recover
+    exactly the body (interior lines never touched)."""
+    from vid_dup_finder_lib_spark.operators.boilerplate import strip_boilerplate
+
+    tok = _tokens(_docs(spark, sf_dir))
+    d2 = tok.select(
+        "doc_id",
+        F.concat(
+            F.lit("home about contact\ncookie notice accept\n"),
+            F.array_join("toks", " "),
+            F.when(F.col("doc_id") % 5 != 0, F.lit("\ncopyright 2024 example corp")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = strip_boilerplate(d2, 1, 2, id_col="doc_id", text_col="text")
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_lines",
+        "n_stripped_leading",
+        "n_stripped_trailing",
+        F.md5("text_stripped").alias("stripped_md5"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload column + typed metadata
     projection (octet length, content digest)."""
@@ -636,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
+        "boilerplate_strip": q_boilerplate_strip,
         "multimodal_meta": q_multimodal_meta,
         "prefix_filter": q_prefix_filter,
         "pair_expansion": q_pair_expansion,
@@ -808,6 +837,46 @@ SELECT doc_id, doclen,
            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))::BIGINT
        ELSE 0 END AS shingle_count
 FROM win
+""",
+        "boilerplate_strip": _SQL_PROLOGUE + r"""
+, d2 AS (
+  SELECT doc_id,
+         'home about contact' || chr(10) || 'cookie notice accept' || chr(10) ||
+         array_to_string(toks, ' ') ||
+         CASE WHEN doc_id % 5 <> 0 THEN chr(10) || 'copyright 2024 example corp' ELSE '' END AS text2
+  FROM tok
+),
+lns AS (
+  SELECT doc_id,
+         unnest(string_split(text2, chr(10))) AS line,
+         unnest(range(len(string_split(text2, chr(10))))) AS pos
+  FROM d2
+),
+bpl AS (
+  SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df FROM lns GROUP BY 1)
+  WHERE df * 2 >= (SELECT count(*) FROM d2) * 1
+),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line, (b.line IS NOT NULL) AS is_bp
+  FROM lns l LEFT JOIN bpl b USING (line)
+),
+bounds AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines,
+         min(CASE WHEN NOT is_bp THEN pos END) AS first_keep,
+         max(CASE WHEN NOT is_bp THEN pos END) AS last_keep
+  FROM flagged GROUP BY 1
+),
+kept AS (
+  SELECT f.doc_id, string_agg(f.line, chr(10) ORDER BY f.pos) AS body
+  FROM flagged f JOIN bounds b USING (doc_id)
+  WHERE b.first_keep IS NOT NULL AND f.pos BETWEEN b.first_keep AND b.last_keep
+  GROUP BY 1
+)
+SELECT b.doc_id, b.n_lines,
+       COALESCE(b.first_keep, b.n_lines)::BIGINT AS n_stripped_leading,
+       (CASE WHEN b.first_keep IS NULL THEN 0 ELSE b.n_lines - 1 - b.last_keep END)::BIGINT AS n_stripped_trailing,
+       md5(COALESCE(k.body, '')) AS stripped_md5
+FROM bounds b LEFT JOIN kept k USING (doc_id)
 """,
         "multimodal_meta": r"""
 SELECT doc_id::BIGINT AS doc_id,

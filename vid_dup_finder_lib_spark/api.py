@@ -68,6 +68,8 @@ def search(
     grouping: str = "matchset",
     id_col: str = "url",
     text_col: str = "text",
+    strip_boilerplate: bool = False,
+    boilerplate_min_df: tuple[int, int] = (1, 2),
 ) -> DataFrame:
     """Self-search: groups of near-duplicates.
 
@@ -75,8 +77,22 @@ def search(
     grouping="cc" returns connected components (scalable default for web
     dedup, and identical output in the reference's own test regimes).
     Returns (cluster_id, id [, is_seed]).
+
+    ``strip_boilerplate`` runs the optional pre-signature letterbox-crop
+    analog (operators/boilerplate.py) — off by default, matching the
+    reference CLI's ``Cropdetect::None`` default (arg_parse.rs:543-547).
     """
     tol = cfg.default_tolerance if tolerance is None else tolerance
+    if strip_boilerplate:
+        from vid_dup_finder_lib_spark.operators import boilerplate as bp
+
+        num, den = boilerplate_min_df
+        docs = bp.strip_boilerplate(
+            docs, num, den, id_col=id_col, text_col=text_col
+        ).select(
+            F.col("id").alias(id_col), F.col("text_stripped").alias(text_col)
+        )
+        docs = _materialize(docs, True)
     edges = find_edges(docs, tol, cfg, id_col, text_col)
     if grouping == "cc":
         return cc_groups(edges)

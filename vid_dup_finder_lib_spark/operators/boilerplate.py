@@ -1,0 +1,156 @@
+"""Boilerplate strip — the letterbox-crop analog (SURVEY.md §2.2 P3/P4).
+
+The reference detects letterbox bars by walking in from each frame edge while
+the strip stays near-uniform (``vid_dup_finder_common/src/video_frames_gray.rs
+:38-128``), then takes the **union (per-side min) of the per-frame crops
+across the sampled sequence** (``video_frames_gray.rs:201-210``,
+``Crop::union`` ``crop.rs:53-68``) so only bars present in *every* frame are
+removed.
+
+Text analog: web boilerplate (nav bars, cookie banners, copyright footers) is
+high-document-frequency *lines* hugging the document edges.  The strip:
+
+* a line is boilerplate iff its corpus document frequency clears a threshold
+  (the "strip is near-uniform across the corpus" test — df plays the role of
+  the >=90 %-uniform strip rule);
+* per document, walk in from the **top and bottom only**: strip the maximal
+  boilerplate prefix and suffix, never interior lines (the crop semantics —
+  a letterbox crop can only remove edges, not the middle of a frame).
+
+Everything is built-in DataFrame ops (posexplode / groupBy / join) — one
+shuffle for the df count, one for the per-doc bounds, one for reassembly; no
+Python in the path.  At 100 TB the df table is corpus-wide but tiny (distinct
+lines with df above threshold), and the reassembly groupBy is keyed on doc id
+— the same key the signature stage consumes next, so AQE can co-partition.
+
+Wired as an *optional pre-signature stage* (api.search(strip_boilerplate=...)
+/ plans.pipeline) — CLI-default parity keeps it off, exactly as the
+reference defaults to ``Cropdetect::None`` (``arg_parse.rs:543-547``).
+This operator is also the at-the-source fix for LSH mega-buckets: boilerplate
+shingles are what collapse distinct docs into the same band buckets
+(operators/lsh.py quarantine tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["boilerplate_lines", "strip_boilerplate"]
+
+
+def _doc_lines(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, line): one row per line, split on '\\n' (empty text -> one
+    empty line, like str.split)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    min_df_num: int = 1,
+    min_df_den: int = 2,
+    id_col: str = "url",
+    text_col: str = "text",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Lines whose document frequency >= (min_df_num/min_df_den) of the
+    corpus.  Returns (line, df).  The threshold is exact integer
+    cross-multiplication (no float ratios), same convention as the Jaccard
+    predicates.
+
+    ``n_docs`` may be passed when the caller already knows the corpus size
+    (saves a count job); it is a scalar, never a collected table.
+    """
+    total = docs.count() if n_docs is None else n_docs
+    df_tab = (
+        _doc_lines(docs, id_col, text_col)
+        .groupBy("line")
+        .agg(F.countDistinct("id").alias("df"))
+    )
+    return df_tab.where(F.col("df") * min_df_den >= F.lit(total) * min_df_num)
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    min_df_num: int = 1,
+    min_df_den: int = 2,
+    id_col: str = "url",
+    text_col: str = "text",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Strip high-df leading/trailing lines from every document.
+
+    Returns the input ids with::
+
+        (id, text_stripped, n_lines, n_stripped_leading, n_stripped_trailing)
+
+    * interior boilerplate lines are KEPT (crop semantics: only edges);
+    * a document made entirely of boilerplate strips to the empty string
+      (the reference's analog: a frame that is all letterbox crops to
+      nothing and errors downstream as NotEnoughFrames — here the signature
+      stage will mark it ``NotEnoughTokens``);
+    * documents with null text pass through with null output and zero
+      counts.
+    """
+    lines = _doc_lines(docs, id_col, text_col)
+    bp = boilerplate_lines(
+        docs, min_df_num, min_df_den, id_col, text_col, n_docs
+    ).select("line", F.lit(True).alias("_bp"))
+
+    flagged = lines.join(bp, "line", "left").select(
+        "id", "pos", "line", F.coalesce("_bp", F.lit(False)).alias("is_bp")
+    )
+    keep_w = F.when(~F.col("is_bp"), F.col("pos"))
+    bounds = flagged.groupBy("id").agg(
+        F.count("*").alias("n_lines"),
+        F.min(keep_w).alias("first_keep"),
+        F.max(keep_w).alias("last_keep"),
+    )
+    kept = (
+        flagged.join(bounds, "id")
+        .where(
+            F.col("first_keep").isNotNull()
+            & F.col("pos").between(F.col("first_keep"), F.col("last_keep"))
+        )
+        .groupBy("id", "n_lines", "first_keep", "last_keep")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_stripped")
+        )
+    )
+    out = kept.select(
+        "id",
+        "text_stripped",
+        "n_lines",
+        F.col("first_keep").cast("long").alias("n_stripped_leading"),
+        (F.col("n_lines") - 1 - F.col("last_keep")).cast("long").alias(
+            "n_stripped_trailing"
+        ),
+    )
+    # all-boilerplate docs have no kept rows; null-text docs have no lines at
+    # all — restore both from the id spine
+    spine = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).isNull().alias("_null_text")
+    )
+    all_bp = (
+        spine.join(out.select("id"), "id", "left_anti")
+        .join(bounds, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_null_text"), F.lit(None).cast("string"))
+            .otherwise(F.lit(""))
+            .alias("text_stripped"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_stripped_leading"),
+            F.lit(0).cast("long").alias("n_stripped_trailing"),
+        )
+    )
+    return out.unionByName(all_bp)
