@@ -296,6 +296,45 @@ def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def q_group_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: group-member filter with dissolve semantics
+    (match_group_ext.rs:36-67): drop members failing the predicate, dissolve
+    groups left with < 2 members; surviving members keep their original
+    cluster_id."""
+    from vid_dup_finder_lib_spark.operators.grouping import filter_groups
+
+    cc = q_connected_components(spark, sf_dir).select(
+        "cluster_id", F.col("doc_id").alias("id")
+    )
+    out = filter_groups(cc, F.col("id") % 3 != 0)
+    return out.select("cluster_id", F.col("id").cast("long").alias("doc_id"))
+
+
+def q_group_sort_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 duration sort mode (search_output.rs:43-79): per-group stats with
+    max member doclen (the duration analog) and the sort rank."""
+    from pyspark.sql.window import Window
+
+    from vid_dup_finder_lib_spark.operators.grouping import group_stats
+
+    sigs = _neardup_signatures(_docs(spark, sf_dir))
+    edges = _lsh_edges(spark, sf_dir).withColumn(
+        "token_hamming", F.col("union_count") - F.col("inter_count")
+    )
+    cc = q_connected_components(spark, sf_dir).select(
+        "cluster_id", F.col("doc_id").alias("id")
+    )
+    stats = group_stats(cc, edges, signatures=sigs)
+    w = Window.orderBy(F.desc("max_doclen"), F.asc("cluster_id"))
+    return stats.select(
+        "cluster_id",
+        F.col("num_members").cast("long"),
+        F.col("max_distance").cast("long"),
+        F.col("max_doclen").cast("long"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 def q_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: derived-corpus docs with no duplicate at the threshold."""
     from vid_dup_finder_lib_spark.operators.matchdb import unique_docs
@@ -654,6 +693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_members": q_cluster_members,
         "group_stats": q_group_stats,
         "unique_docs": q_unique_docs,
+        "group_filter": q_group_filter,
+        "group_sort_duration": q_group_sort_duration,
         "missed_matches": q_missed_matches,
         "falsepos_filter": q_falsepos_filter,
         "confirmed_filter": q_confirmed_filter,
@@ -721,6 +762,28 @@ maxd AS (SELECT cluster_id, max(edge_dist) AS max_edge_dist FROM edge_c GROUP BY
 SELECT s.cluster_id, s.n_members, m.max_edge_dist,
        row_number() OVER (ORDER BY s.n_members DESC, s.cluster_id)::BIGINT AS rank
 FROM stats s LEFT JOIN maxd m USING (cluster_id)
+""",
+        "group_filter": prologue_r + sql_cc + r"""
+, keptg AS (SELECT cluster_id, doc_id FROM cc WHERE doc_id % 3 <> 0),
+surv AS (SELECT cluster_id FROM keptg GROUP BY 1 HAVING count(*) >= 2)
+SELECT k.cluster_id, k.doc_id FROM keptg k JOIN surv USING (cluster_id)
+""",
+        "group_sort_duration": prologue_r + sql_cc + r"""
+, mlen AS (
+  SELECT c.cluster_id, max(len(d.toks))::BIGINT AS max_doclen,
+         count(*)::BIGINT AS num_members
+  FROM cc c JOIN derived d USING (doc_id) GROUP BY 1
+),
+mdist AS (
+  SELECT c.cluster_id,
+         max(j.union_count - j.inter_count)::BIGINT AS max_distance
+  FROM jpairs j JOIN cc c ON j.id1 = c.doc_id GROUP BY 1
+)
+SELECT m.cluster_id, m.num_members,
+       COALESCE(d.max_distance, 0)::BIGINT AS max_distance,
+       m.max_doclen,
+       row_number() OVER (ORDER BY m.max_doclen DESC, m.cluster_id)::BIGINT AS rank
+FROM mlen m LEFT JOIN mdist d USING (cluster_id)
 """,
         "unique_docs": _SQL_PROLOGUE + r"""
 SELECT d.doc_id FROM derived d

@@ -115,9 +115,55 @@ def pair_expansion(groups: DataFrame) -> DataFrame:
     )
 
 
-def group_stats(groups: DataFrame, edges: DataFrame) -> DataFrame:
+def filter_groups(
+    groups: DataFrame,
+    keep,
+    ref_col: str | None = None,
+) -> DataFrame:
+    """F5: group-member filter with dissolve semantics
+    (``MatchGroupExt::filter``, match_group_ext.rs:36-67).
+
+    ``keep`` is a Column predicate over member rows.  Members failing it are
+    dropped; then the MatchGroup invariants (match_group.rs:21-47) decide
+    group survival:
+
+    * no reference column: a group survives iff >= 2 members remain;
+    * ``ref_col`` (boolean flag, e.g. ``is_seed``): a group survives iff its
+      reference member survived AND >= 1 non-reference member remains —
+      dropping the reference dissolves the whole group.
+
+    Returns the surviving member rows unchanged (original cluster_id kept —
+    filtering never re-identifies groups, exactly like the reference, which
+    mutates the Vec in place).
+    """
+    kept = groups.where(keep)
+    if ref_col is None:
+        surviving = (
+            kept.groupBy("cluster_id")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") >= 2)
+            .select("cluster_id")
+        )
+    else:
+        surviving = (
+            kept.groupBy("cluster_id")
+            .agg(
+                F.max(F.col(ref_col).cast("int")).alias("_has_ref"),
+                F.sum((~F.col(ref_col)).cast("int")).alias("_n_dups"),
+            )
+            .where((F.col("_has_ref") == 1) & (F.col("_n_dups") >= 1))
+            .select("cluster_id")
+        )
+    return kept.join(surviving, "cluster_id", "left_semi")
+
+
+def group_stats(
+    groups: DataFrame, edges: DataFrame, signatures: DataFrame | None = None
+) -> DataFrame:
     """Per-group member count + max pairwise distance (search_output.rs:45-60,
-    A8) for the output sort modes (O2, search_output.rs:43-79)."""
+    A8) for the output sort modes (O2, search_output.rs:43-79).  With
+    ``signatures``, also ``max_doclen`` — the duration sort key (the
+    reference sorts groups by their videos' duration)."""
     pair_dists = edges.select("id1", "id2", "token_hamming")
     g1 = groups.select("cluster_id", F.col("id").alias("id1"))
     g2 = groups.select(F.col("cluster_id").alias("c2"), F.col("id").alias("id2"))
@@ -130,10 +176,24 @@ def group_stats(groups: DataFrame, edges: DataFrame) -> DataFrame:
     dists = intra.groupBy("cluster_id").agg(
         F.max("token_hamming").alias("max_distance")
     )
-    return sizes.join(dists, "cluster_id", "left").fillna(0, ["max_distance"])
+    out = sizes.join(dists, "cluster_id", "left").fillna(0, ["max_distance"])
+    if signatures is not None:
+        durs = (
+            groups.join(signatures.select("id", "doclen"), "id")
+            .groupBy("cluster_id")
+            .agg(F.max("doclen").alias("max_doclen"))
+        )
+        out = out.join(durs, "cluster_id", "left")
+    return out
 
 
 def sort_groups(stats: DataFrame, mode: str = "num_matches", descending: bool = True) -> DataFrame:
-    """O2 output sort: by NumMatches / MaxDistance (app_cfg.rs:14-22)."""
-    col = {"num_matches": "num_members", "max_distance": "max_distance"}[mode]
+    """O2 output sort: NumMatches / MaxDistance / Duration, each reversible —
+    the six modes of search_output.rs:43-79 (the reference reverses via its
+    ``u32::MAX - key`` trick; here it is a sort direction)."""
+    col = {
+        "num_matches": "num_members",
+        "max_distance": "max_distance",
+        "duration": "max_doclen",
+    }[mode]
     return stats.orderBy(F.desc(col) if descending else F.asc(col), "cluster_id")
