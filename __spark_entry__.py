@@ -547,9 +547,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-radius dedup (pigeonhole candidates + bit_count
-    verify).  Not ANSI-SQL-expressible (hash-function-dependent) — rows-only
-    driver check; exactness is covered by tests/test_dedup_extras.py against
-    a brute-force oracle."""
+    verify).  The result is hash-function-dependent, so the oracle reads a
+    committed fixture computed by an independent Spark-free reimplementation
+    of the signature chain (tools/make_simhash_fixture.py, regenerated and
+    staleness-checked by tests/test_simhash_oracle.py)."""
     from vid_dup_finder_lib_spark.operators.dedup import simhash_hamming_pairs
 
     sigs = _neardup_signatures(_docs(spark, sf_dir))
@@ -869,6 +870,15 @@ GROUP BY 1, 2
         "prefix_filter": r"""
 SELECT doc_id::BIGINT AS doc_id, source FROM documents
 WHERE source LIKE 'src1%' AND source NOT LIKE 'src12%'
+""",
+        # hash-function-dependent result: the oracle is a committed fixture
+        # produced by a Spark-free reimplementation of the signature chain
+        # (tools/make_simhash_fixture.py; staleness-guarded by
+        # tests/test_simhash_oracle.py).  The driver's correctness gate runs
+        # at sf0.01 — the fixture is per-sf-named for exactly that input.
+        "simhash_pairs": r"""
+SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, simhash_hamming::INT AS simhash_hamming
+FROM read_parquet('/root/repo/fixtures/simhash_pairs_sf0.01.parquet')
 """,
         "pair_expansion": prologue_r + sql_cc + r"""
 SELECT a.cluster_id, a.doc_id AS id1, b.doc_id AS id2
