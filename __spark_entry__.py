@@ -459,6 +459,33 @@ def q_incremental_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return actions.select(F.col("doc_id").cast("long"), "action")
 
 
+def q_incremental_reload_errs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 --reload-errs analog: with the flag, still-live cached *error* rows
+    join the recompute set even though their timestamps did not drift.
+    Docs doc_id%7==3 are planted as 2-token texts (NotEnoughTokens)."""
+    from vid_dup_finder_lib_spark.operators.incremental import plan_refresh
+
+    tok = _tokens(_docs(spark, sf_dir))
+    v1 = tok.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 3, F.lit("tiny doc"))
+        .otherwise(F.array_join("toks", " "))
+        .alias("text"),
+        F.to_timestamp(F.lit(1735689600) + F.col("doc_id")).alias("warc_ts"),
+    )
+    cached = build_signatures(v1, ENTRY_CFG, id_col="doc_id", text_col="text").join(
+        v1.select(F.col("doc_id").alias("id"), F.col("warc_ts").alias("cached_ts")),
+        "id",
+    )
+    to_compute, _keep, _deleted = plan_refresh(
+        v1, cached, id_col="doc_id", reload_errors=True
+    )
+    # timestamps unchanged -> the recompute set is exactly the error rows
+    return to_compute.select(
+        F.col("doc_id").cast("long"), F.lit("recompute").alias("action")
+    )
+
+
 def q_length_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: the 1.10x length window as a banded equi-join (skew-safe form of
     the reference's duration sort window)."""
@@ -701,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confirmed_filter": q_confirmed_filter,
         "moved_relink": q_moved_relink,
         "incremental_plan": q_incremental_plan,
+        "incremental_reload_errs": q_incremental_reload_errs,
         "length_band_pairs": q_length_band_pairs,
         "refs_search": q_refs_search,
         "ann_topk": q_ann_topk,
@@ -821,6 +849,10 @@ UNION ALL
 SELECT doc_id + 400000, 'new' FROM tok WHERE doc_id % 25 = 0
 UNION ALL
 SELECT doc_id, 'delete' FROM tok WHERE doc_id % 17 = 0
+""",
+        "incremental_reload_errs": _SQL_PROLOGUE + r"""
+SELECT doc_id, 'recompute' AS action FROM tok
+WHERE doc_id % 7 = 3 OR toks IS NULL OR len(toks) < 3
 """,
         "length_band_pairs": _SQL_PROLOGUE + r"""
 , lens AS (SELECT doc_id, len(toks)::BIGINT AS n FROM tok WHERE len(toks) > 0)

@@ -72,6 +72,33 @@ def test_refreshed_table_is_consistent_with_full_rebuild(spark, versions):
     assert a == b
 
 
+def test_reload_errors_flag(spark, versions):
+    """Error rows are recomputed iff reload_errors is set (--reload-errs,
+    video_hash_filesystem_cache.rs:160-166)."""
+    v1, _, _, _ = versions
+    urls = sorted(r.url for r in v1.select("url").collect())
+    err_urls = set(urls[5:8])
+    # plant 3 docs whose first build errored (2 tokens -> NotEnoughTokens)
+    broken = v1.withColumn(
+        "text",
+        F.when(F.col("url").isin(list(err_urls)), F.lit("too short")).otherwise(
+            F.col("text")
+        ),
+    )
+    cached = refresh_signatures(broken, None, CFG).localCheckpoint()
+    assert (
+        cached.where(F.col("error").isNotNull()).count() == len(err_urls)
+    )
+    # the "source" got fixed but the timestamp did not move (a transient
+    # extraction failure): default keeps the error cached, flag retries it
+    to_default, _, _ = plan_refresh(v1, cached)
+    assert to_default.count() == 0
+    to_reload, _, _ = plan_refresh(v1, cached, reload_errors=True)
+    assert {r.url for r in to_reload.select("url").collect()} == err_urls
+    refreshed = refresh_signatures(v1, cached, CFG, reload_errors=True)
+    assert refreshed.where(F.col("error").isNotNull()).count() == 0
+
+
 def test_small_drift_does_not_recompute(spark, versions):
     v1, _, _, _ = versions
     cached = refresh_signatures(v1, None, CFG).localCheckpoint()

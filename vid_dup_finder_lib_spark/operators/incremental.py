@@ -30,6 +30,7 @@ def plan_refresh(
     cached: DataFrame,
     id_col: str = "url",
     ts_col: str = "warc_ts",
+    reload_errors: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns (to_compute_docs, keep_signatures, deleted_ids).
 
@@ -37,6 +38,12 @@ def plan_refresh(
     A row needs recompute when it is new or its timestamp drifted more than
     STALENESS_SECONDS in either direction (the reference compares absolute
     drift, not ordering).
+
+    ``reload_errors``: additionally recompute every still-live row whose
+    cached signature is an error value — the ``--reload-errs`` flag
+    (video_hash_filesystem_cache.rs:160-166, app_fns.rs:816-824).  Transient
+    extraction failures are common at corpus scale; without this flag they
+    stay cached forever (the reference's default, kept here too).
     """
     live = docs.select(F.col(id_col).alias("id"), F.col(ts_col).alias("live_ts"))
     state = cached.select("id", F.col("cached_ts"))
@@ -51,6 +58,13 @@ def plan_refresh(
             > STALENESS_SECONDS
         )
     ).select("id")
+    if reload_errors:
+        err_live = (
+            cached.where(F.col("error").isNotNull())
+            .select("id")
+            .join(live.select("id"), "id", "left_semi")
+        )
+        stale_or_new = stale_or_new.union(err_live).distinct()
 
     to_compute = docs.join(
         stale_or_new.withColumnRenamed("id", id_col), id_col, "left_semi"
@@ -67,13 +81,15 @@ def refresh_signatures(
     id_col: str = "url",
     text_col: str = "text",
     ts_col: str = "warc_ts",
+    reload_errors: bool = False,
 ) -> DataFrame:
     """New signature table = recomputed(changed+new) ∪ kept(unchanged).
 
     Output carries ``cached_ts`` so the next round can diff against it.
     Errors remain cached values and are NOT retried unless the doc row
-    changed — exactly the reference's cached-error behavior
-    (generic_cache_if.rs:22-45; --reload-errs analog is a full rebuild).
+    changed (the reference's cached-error default, generic_cache_if.rs:22-45)
+    or ``reload_errors=True`` (the ``--reload-errs`` flag), which adds every
+    still-live error row to the recompute set.
     """
     fresh_cols = lambda df: df.select(  # noqa: E731
         "id", "doclen", "token_hashes", "shingle_count", "shingle_hashes",
@@ -85,7 +101,9 @@ def refresh_signatures(
         )
         return fresh_cols(fresh)
 
-    to_compute, keep, _deleted = plan_refresh(docs, cached, id_col, ts_col)
+    to_compute, keep, _deleted = plan_refresh(
+        docs, cached, id_col, ts_col, reload_errors=reload_errors
+    )
     recomputed = build_signatures(to_compute, cfg, id_col, text_col).join(
         to_compute.select(F.col(id_col).alias("id"), F.col(ts_col).alias("cached_ts")),
         "id",
