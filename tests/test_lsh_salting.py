@@ -44,7 +44,33 @@ def test_hard_cap_quarantines_and_reports(spark):
     q = quarantined.collect()
     assert len(q) > 0
     assert all(r.bucket_size == 40 for r in q)
+    assert all(r.policy == "dropped" for r in q)
     # and the mega-cluster's pairs are consequently absent, not silently
     # half-present
     ids = {r.id1 for r in pairs.collect()} | {r.id2 for r in pairs.collect()}
     assert not any("site00000" in i for i in ids)
+
+
+def test_overcap_sample_recovers_pairs_in_quarantined_buckets(spark):
+    """VERDICT r1 item 9: with overcap='sample', planted dups inside an
+    over-hard-cap bucket are still found (bounded, reported recall trade)
+    instead of vanishing with the bucket."""
+    tiny = SigConfig(num_perms=128, lsh_bands=32, seed=42, max_bucket_size=8)
+    sigs = _sigs(spark, tiny)  # 40-member mega-cluster buckets > 8*1^2
+    dropped, q_drop = candidate_pairs(sigs, tiny, salt_groups=1)
+    sampled, q_samp = candidate_pairs(sigs, tiny, salt_groups=1, overcap="sample")
+
+    assert q_drop.count() > 0 and {r.policy for r in q_drop.collect()} == {"dropped"}
+    assert {r.policy for r in q_samp.collect()} == {"sampled"}
+
+    cluster = lambda s: {p for p in s if "site00000" in p[0] and "site00000" in p[1]}  # noqa: E731
+    drop_pairs = cluster({(r.id1, r.id2) for r in dropped.collect()})
+    samp_pairs = cluster({(r.id1, r.id2) for r in sampled.collect()})
+    # default loses the whole mega-cluster; sampling recovers a large,
+    # deterministic share of its pairs (sample ~8/40 per band, 32 bands —
+    # identical docs share every band, so pair recall is high)
+    assert len(drop_pairs) == 0
+    total = 40 * 39 // 2
+    assert len(samp_pairs) >= total // 2
+    # every recovered pair is a true member pair (no cross contamination)
+    assert all("singleton" not in a and "singleton" not in b for a, b in samp_pairs)

@@ -9,8 +9,11 @@ are pairs sharing any bucket — an equi-join Catalyst can plan (shuffled hash /
 sort-merge with AQE skew splitting).
 
 Skew: boilerplate-heavy corpora collapse into mega-buckets.  Buckets larger
-than ``cfg.max_bucket_size`` are **quarantined and reported** (returned as a
-separate DataFrame), never silently dropped — SURVEY.md §7 hard-part 3.
+than ``cfg.max_bucket_size`` are salted; pathological ones are **quarantined
+and reported** (returned as a separate DataFrame) or, with
+``overcap="sample"``, served by a deterministic bounded sample — never
+silently dropped (SURVEY.md §7 hard-part 3).  The at-the-source fix is
+operators/boilerplate.py (strip the high-df lines that create the buckets).
 """
 
 from __future__ import annotations
@@ -93,20 +96,36 @@ def _salted_pairs(hot_keys: DataFrame, salt_groups: int) -> DataFrame:
 
 
 def candidate_pairs(
-    signatures: DataFrame, cfg: SigConfig, salt_groups: int = 16
+    signatures: DataFrame,
+    cfg: SigConfig,
+    salt_groups: int = 16,
+    overcap: str = "quarantine",
 ) -> tuple[DataFrame, DataFrame]:
-    """All-pairs candidates from band buckets, skew-managed in two tiers.
+    """All-pairs candidates from band buckets, skew-managed in three tiers.
 
     * buckets <= max_bucket_size: plain bucket self-join (AQE skew-split
       handles moderate imbalance);
     * buckets in (max_bucket_size, max_bucket_size * salt_groups^2]:
       salted triangle block-pairing (_salted_pairs) — same pairs, bounded
       per-task memory;
-    * larger still: quarantined and *reported*, never silently dropped.
+    * larger still, ``overcap`` policy:
+        - ``"quarantine"`` (default): no pairs, bucket *reported*;
+        - ``"sample"``: a deterministic hash-threshold sample of
+          ~max_bucket_size members per bucket (no per-bucket sort — a window
+          rank would materialize the very bucket we're avoiding) feeds the
+          salted pair path; the bucket is still reported, with
+          ``policy='sampled'``.  Expected within-bucket pair coverage is
+          (max_bucket_size/bucket_size)^2 per band — a *bounded, reported*
+          recall trade for boilerplate-heavy corpora, instead of losing the
+          bucket outright.  True dup pairs share many bands, so pair-level
+          recall is 1-(1-c)^b_shared (c = coverage), much higher than c.
 
-    Returns ``(pairs, quarantined_buckets)``; pairs are (id1 < id2),
-    distinct across bands and tiers.
+    Returns ``(pairs, quarantined_buckets)``; pairs are (id1 < id2), distinct
+    across bands and tiers; quarantined_buckets carries
+    (band_id, band_hash, bucket_size, policy) — never silently dropped.
     """
+    if overcap not in ("quarantine", "sample"):
+        raise ValueError(f"unknown overcap policy {overcap!r}")
     keys = band_keys(signatures, cfg)
 
     sizes = keys.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_size"))
@@ -139,5 +158,25 @@ def candidate_pairs(
     )
     salted = _salted_pairs(hot_keys, salt_groups).select("id1", "id2")
 
-    pairs = plain.unionByName(salted).distinct()
-    return pairs, quarantined
+    pairs = plain.unionByName(salted)
+    if overcap == "sample":
+        # deterministic hash-threshold sampling: keep a member with
+        # probability max_bucket_size/bucket_size — a filter, not a sort, so
+        # no task ever holds a full over-cap bucket
+        scale = 1_000_000
+        q_keys = keys.join(
+            F.broadcast(quarantined.select("band_id", "band_hash", "bucket_size")),
+            ["band_id", "band_hash"],
+        )
+        sampled_keys = q_keys.where(
+            F.pmod(F.xxhash64("id", F.lit("overcap-sample"), "band_hash"), F.lit(scale))
+            * F.col("bucket_size")
+            < F.lit(cfg.max_bucket_size * scale)
+        ).select("band_id", "band_hash", "id")
+        degraded = _salted_pairs(sampled_keys, salt_groups).select("id1", "id2")
+        pairs = pairs.unionByName(degraded)
+
+    quarantined = quarantined.withColumn(
+        "policy", F.lit("sampled" if overcap == "sample" else "dropped")
+    )
+    return pairs.distinct(), quarantined
