@@ -22,12 +22,17 @@ Semantics (deliberately minimal — the synthetic corpus is generated to match):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
 import pyarrow as pa
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# a complete tag: '<' up to the next '>' (cannot skip a '>', matching the
+# original find-based span semantics)
+_TAG_RE = re.compile(rb"<[^>]*>")
 
 _ENTITIES = [
     (b"&lt;", b"<"),
@@ -67,26 +72,29 @@ def extract_text_bytes(html: bytes | None) -> str | None:
         if p_close == -1:
             p_close = n
         chunk = body[p_open_end + 1 : p_close]
-        # strip any nested tags, keep their character data
-        out = bytearray()
-        j = 0
-        m = len(chunk)
-        while j < m:
-            c = chunk[j]
-            if c == 0x3C:  # '<'
-                close = chunk.find(b">", j)
-                if close == -1:
-                    break
-                j = close + 1
-            else:
-                out.append(c)
-                j += 1
-        raw = bytes(out)
-        for ent, rep in _ENTITIES:
-            raw = raw.replace(ent, rep)
+        # strip any nested tags, keep their character data.  One C-speed
+        # regex pass (round-2 rewrite of a per-byte Python loop — same
+        # frozen semantics; pinned by tests/test_extraction.py vectors).
+        # The original loop drops everything from the first *unterminated*
+        # '<' onward; such a '<' is exactly one occurring after the last
+        # '>', so truncate there before the tag regex.
+        if b"<" not in chunk:
+            raw = chunk
+        else:
+            cut = chunk.find(b"<", chunk.rfind(b">") + 1)
+            if cut != -1:
+                chunk = chunk[:cut]
+            raw = _TAG_RE.sub(b"", chunk)
         paras.append(raw)
         i = p_close + 4
-    return b"\n".join(paras).decode("utf-8", errors="replace")
+    text = b"\n".join(paras)
+    # entity unescape over the whole document at once (byte-identical to the
+    # original per-paragraph replaces: no pattern contains or produces '\n',
+    # so matches never span a paragraph boundary), gated on '&' presence
+    if b"&" in text:
+        for ent, rep in _ENTITIES:
+            text = text.replace(ent, rep)
+    return text.decode("utf-8", errors="replace")
 
 
 def extract_text_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
