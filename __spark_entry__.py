@@ -652,6 +652,46 @@ def q_sampled_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (task-brief dedup mode): exact
+    cross-join form over the embeddings table — the oracle-checkable
+    baseline; the LSH-bucketed form (operators/ann.py) is the scale path.
+    Only integer ids are output (engines' float sum orders differ; pair
+    membership at a threshold is stable, boundary ties measure-zero)."""
+    from vid_dup_finder_lib_spark.operators.ann import embedding_neardup_pairs
+
+    emb = _embeddings(spark, sf_dir)
+    return embedding_neardup_pairs(emb, min_cosine=0.35).select(
+        F.col("id1").cast("long"), F.col("id2").cast("long")
+    )
+
+
+def q_validation_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: pairs marked both confirmed and false-positive — the
+    reference's declared-but-todo!() validation view (match_db.rs:271-284),
+    implemented and oracle-checked here."""
+    from vid_dup_finder_lib_spark.operators.matchdb import validation_conflicts
+
+    base = _tokens(_docs(spark, sf_dir)).select(
+        F.col("doc_id").alias("id1"), (F.col("doc_id") + 100000).alias("id2")
+    )
+    confirmed = base.where(F.col("id1") % 2 == 0)
+    falsepos = base.where(F.col("id1") % 3 == 0)
+    return validation_conflicts(confirmed, falsepos).select(
+        F.col("id1").cast("long"), F.col("id2").cast("long")
+    )
+
+
+def q_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 keep-first: deterministic survivor per exact-dup class (min id —
+    the reference's sort-order tiebreak, search_algorithm.rs:56-61)."""
+    from vid_dup_finder_lib_spark.operators.dedup import exact_dedup_keep_first
+
+    d = _derived_exact(_docs(spark, sf_dir))
+    sigs = build_signatures(d, ENTRY_CFG, id_col="doc_id", text_col="text")
+    return exact_dedup_keep_first(sigs).select(F.col("id").cast("long").alias("doc_id"))
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/P4 letterbox-crop analog: strip high-document-frequency leading/
     trailing lines.  Derived corpus plants a 2-line header on every doc and a
@@ -735,6 +775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
         "boilerplate_strip": q_boilerplate_strip,
+        "embedding_neardup": q_embedding_neardup,
+        "validation_conflicts": q_validation_conflicts,
+        "exact_dedup_survivors": q_exact_dedup_survivors,
         "multimodal_meta": q_multimodal_meta,
         "prefix_filter": q_prefix_filter,
         "pair_expansion": q_pair_expansion,
@@ -942,6 +985,24 @@ SELECT doc_id, doclen,
            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))::BIGINT
        ELSE 0 END AS shingle_count
 FROM win
+""",
+        "embedding_neardup": r"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id::BIGINT AS id1, b.vec_id::BIGINT AS id2
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+""",
+        "validation_conflicts": _SQL_PROLOGUE + r"""
+SELECT doc_id AS id1, doc_id + 100000 AS id2 FROM tok
+WHERE doc_id % 2 = 0 AND doc_id % 3 = 0
+""",
+        "exact_dedup_survivors": _SQL_PROLOGUE + r"""
+, dexact AS (
+  SELECT doc_id, array_to_string(toks, ' ') AS text2 FROM tok
+  UNION ALL
+  SELECT doc_id + 200000, array_to_string(toks, ' ') FROM tok
+)
+SELECT min(doc_id)::BIGINT AS doc_id FROM dexact GROUP BY md5(text2)
 """,
         "boilerplate_strip": _SQL_PROLOGUE + r"""
 , d2 AS (

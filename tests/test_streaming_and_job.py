@@ -57,6 +57,45 @@ def test_job_cli_end_to_end(spark, tmp_path):
     assert sizes == [4, 5]
 
 
+def test_job_cli_strip_boilerplate(spark, tmp_path):
+    """--strip-boilerplate (the --cropdetect analog) wires the pre-signature
+    strip stage into the checkpointed pipeline; a corpus-wide header line is
+    removed and grouping is unchanged."""
+    from pyspark.sql import functions as F
+
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=75)
+    cb.make_clusters(
+        num_clusters=2, first_size=4, size_step=1, intra_d=20, inter_d=200, doclen=400
+    )
+    docs = cb.to_spark(spark, partitions=2).withColumn(
+        "text", F.concat(F.lit("shared site header nav line\n"), F.col("text"))
+    )
+    docs_path = str(tmp_path / "docs")
+    docs.write.parquet(docs_path)
+    out_path = str(tmp_path / "groups")
+
+    rc = job.main(
+        [
+            "--docs", docs_path,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--tolerance", "0.100",
+            "--output", out_path,
+            "--strip-boilerplate",
+            "--reload-errs",
+        ]
+    )
+    assert rc == 0
+    groups = spark.read.parquet(out_path)
+    sizes = sorted(r["count"] for r in groups.groupBy("cluster_id").count().collect())
+    assert sizes == [4, 5]
+    # the strip ran as its own checkpointed stage and removed the header
+    stripped = spark.read.parquet(str(tmp_path / "ckpt" / "docs_stripped" / "data"))
+    assert stripped.where(F.col("text").contains("shared site header")).count() == 0
+    assert stripped.count() == 9
+
+
 def test_job_json_and_unique_outputs(spark, tmp_path):
     from vid_dup_finder_lib_spark.plans import job
 

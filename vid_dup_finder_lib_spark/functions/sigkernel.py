@@ -211,15 +211,30 @@ def compute_signatures_arrow(
 
 
 def signature_map_fn(
-    cfg: SigConfig, id_col: str, text_col: str, include_token_hashes: bool = True
+    cfg: SigConfig,
+    id_col: str,
+    text_col: str,
+    include_token_hashes: bool = True,
+    cpu_acc=None,
 ):
+    """``cpu_acc``: optional Spark accumulator collecting the kernel's
+    Python-worker CPU seconds (time.process_time) — the core-seconds
+    instrumentation the scaling evidence uses (JVM executorCpuTime cannot
+    see Python-side work).  None = zero overhead."""
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import time
+
         for batch in batches:
+            t0 = time.process_time() if cpu_acc is not None else 0.0
             ids = batch.column(batch.schema.get_field_index(id_col))
             texts = batch.column(batch.schema.get_field_index(text_col))
             ch_idx = batch.schema.get_field_index("content_hash")
             ch = batch.column(ch_idx) if ch_idx >= 0 else None
-            yield compute_signatures_arrow(ids, texts, cfg, include_token_hashes, ch)
+            out = compute_signatures_arrow(ids, texts, cfg, include_token_hashes, ch)
+            if cpu_acc is not None:
+                cpu_acc.add(time.process_time() - t0)
+            yield out
 
     return fn
 

@@ -77,12 +77,20 @@ def _small_star(e: DataFrame) -> DataFrame:
     return to_min.unionAll(keep_root).distinct()
 
 
-def _differs(a: DataFrame, b: DataFrame) -> bool:
-    """True iff canonical edge sets a and b differ (both are distinct sets,
-    so one anti-join direction plus a count-equality suffices)."""
-    if a.count() != b.count():
-        return True
-    return a.join(b, ["lo", "hi"], "left_anti").limit(1).count() > 0
+def _any_difference(e: DataFrame, e1: DataFrame, e2: DataFrame) -> bool:
+    """True iff {e, e1, e2} are not all equal as sets.
+
+    All three are distinct canonical sets, so pairwise symmetric differences
+    decide equality; the four anti-joins are unioned into ONE Spark job
+    (iterative loops pay per-job driver latency — this check runs every
+    round, so job count matters more than per-job work here)."""
+    probe = (
+        e1.join(e, ["lo", "hi"], "left_anti")
+        .unionByName(e.join(e1, ["lo", "hi"], "left_anti"))
+        .unionByName(e2.join(e1, ["lo", "hi"], "left_anti"))
+        .unionByName(e1.join(e2, ["lo", "hi"], "left_anti"))
+    )
+    return probe.limit(1).count() > 0
 
 
 def connected_components(
@@ -123,7 +131,7 @@ def connected_components(
     for _ in range(max_iterations):
         e1 = _large_star(e).localCheckpoint(eager=True)
         e2 = _small_star(e1).localCheckpoint(eager=True)
-        if not _differs(e1, e) and not _differs(e2, e1):
+        if not _any_difference(e, e1, e2):
             converged = True
             break
         e = e2

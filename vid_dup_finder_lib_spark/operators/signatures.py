@@ -39,6 +39,7 @@ def build_signatures(
     id_col: str = "url",
     text_col: str = "text",
     include_token_hashes: bool = True,
+    cpu_acc=None,
 ) -> DataFrame:
     """Returns ``(id, doclen, token_hashes, shingle_count, shingle_hashes,
     minhash, simhash, content_hash, error)``.
@@ -57,7 +58,7 @@ def build_signatures(
         id_col, text_col, F.sha2(F.col(text_col), 256).alias("content_hash")
     )
     out = narrow.mapInArrow(
-        signature_map_fn(cfg, id_col, text_col, include_token_hashes),
+        signature_map_fn(cfg, id_col, text_col, include_token_hashes, cpu_acc),
         schema=SIGNATURE_SCHEMA,
     )
     # the Arrow kernel's schema is static (id: string); restore the input id

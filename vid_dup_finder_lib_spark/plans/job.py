@@ -40,6 +40,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--output-unique", help="also write docs with no duplicate (J9)")
     p.add_argument("--force", action="store_true", help="ignore completed stages")
+    p.add_argument(
+        "--strip-boilerplate", action="store_true",
+        help="pre-signature high-df line strip (letterbox-crop analog; the "
+        "reference CLI's --cropdetect, default off = Cropdetect::None)",
+    )
+    p.add_argument(
+        "--boilerplate-min-df", default="1/2", metavar="NUM/DEN",
+        help="df threshold for a line to count as boilerplate (exact fraction)",
+    )
+    p.add_argument(
+        "--reload-errs", action="store_true",
+        help="retry cached error rows (the reference's --reload-errs)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -65,6 +78,9 @@ def main(argv: list[str] | None = None) -> int:
         text_col=args.text_col,
         ts_col=args.ts_col,
         force=args.force,
+        strip_boilerplate=args.strip_boilerplate,
+        boilerplate_min_df=tuple(int(x) for x in args.boilerplate_min_df.split("/")),
+        reload_errors=args.reload_errs,
     )
     if args.output:
         if args.output_format == "json":

@@ -44,12 +44,40 @@ def run_dedup_pipeline(
     text_col: str = "text",
     ts_col: str = "warc_ts",
     force: bool = False,
+    strip_boilerplate: bool = False,
+    boilerplate_min_df: tuple[int, int] = (1, 2),
+    reload_errors: bool = False,
 ) -> PipelineResult:
     """Resumable end-to-end run.  Re-invoking with the same checkpoint_root
     and config resumes after the last completed stage; with changed config
-    the store refuses (fingerprint guard)."""
+    the store refuses (fingerprint guard).
+
+    ``strip_boilerplate``: optional pre-signature high-df line strip (the
+    letterbox-crop analog; off by default like the reference CLI's
+    ``Cropdetect::None``).  ``reload_errors``: retry cached error rows
+    (``--reload-errs``)."""
     store = CheckpointStore(checkpoint_root, cfg)
     tol = cfg.default_tolerance if tolerance is None else tolerance
+
+    if strip_boilerplate:
+        from pyspark.sql import functions as F
+
+        from vid_dup_finder_lib_spark.operators import boilerplate as bp
+
+        def _stripped():
+            num, den = boilerplate_min_df
+            out = bp.strip_boilerplate(
+                docs, num, den, id_col=id_col, text_col=text_col
+            )
+            # keep the timestamp column: the refresh diff still keys on it
+            return out.select(
+                F.col("id").alias(id_col),
+                F.col("text_stripped").alias(text_col),
+            ).join(docs.select(id_col, ts_col), id_col)
+
+        docs = store.run_stage(
+            spark, "docs_stripped", _stripped, upstream=["docs"], force=force
+        )
 
     def _signatures():
         cached = None
@@ -58,7 +86,9 @@ def run_dedup_pipeline(
                 cached = store.read(spark, "signatures")
         except ValueError:
             raise
-        return refresh_signatures(docs, cached, cfg, id_col, text_col, ts_col)
+        return refresh_signatures(
+            docs, cached, cfg, id_col, text_col, ts_col, reload_errors=reload_errors
+        )
 
     # signatures stage always runs the refresh plan (it is itself the
     # incremental fast path); the checkpoint write makes it durable.
