@@ -95,6 +95,41 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert hits / len(exact) >= 0.9  # ANN recall@1
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF tier (k-means buckets + nprobe search) matches brute force on
+    clustered vectors; k-means is deterministic (same seed -> same result)."""
+    from vid_dup_finder_lib_spark.operators.ann import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(53)
+    dim, n = 16, 120
+    centers = rng.standard_normal((6, dim))
+    vecs = centers[np.arange(n) % 6] + 0.1 * rng.standard_normal((n, dim))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).localCheckpoint()
+
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_topk(df, df, k=1).collect()
+    }
+    approx = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(df, k=1, dim=dim, n_centroids=8, nprobe=2, seed=2).collect()
+    }
+    hits = sum(1 for key, v in exact.items() if approx.get(key) == v)
+    assert hits / len(exact) >= 0.9  # ANN recall@1
+
+    c1 = kmeans_centroids(df, 8, dim, seed=2)
+    c2 = kmeans_centroids(df, 8, dim, seed=2)
+    assert np.allclose(c1, c2)
+    assert c1.shape == (8, dim)
+
+
 def test_multimodal_plumbing(spark):
     from vid_dup_finder_lib_spark.operators.multimodal import (
         extract_frame_features,
