@@ -54,13 +54,27 @@ REPEAT = int(os.environ.get("SCALE_REPEAT", "16"))
 RUNS_PER_CHILD = int(os.environ.get("SCALE_RUNS", "3"))
 QUIET_FRAC = float(os.environ.get("QUIET_FRAC", "0.7"))
 QUIET_TRIES = int(os.environ.get("QUIET_TRIES", "6"))
+# DVFS equalization: burn processes run alongside the low-N child so both
+# levels execute at the same active-core count (same clocks).  The quiet-box
+# pathology this controls for: at N=2 the kernel burns ~33 CPU-sec for work
+# that costs ~53 CPU-sec at 8 workers — turbo hands the low-N baseline a
+# 1.4-1.6x per-core advantage, capping ANY raw 4x ratio at ~2.7x.  Ballast
+# does not steal cycles (cores are idle at low N); it only pins clocks.
+BALLAST_LOW = int(os.environ.get("SCALE_BALLAST_LOW", "0"))
+BALLAST_HIGH = int(os.environ.get("SCALE_BALLAST_HIGH", "0"))
+# shuffle partitioning for BOTH levels (identical plans); default 4N*2.
+# AQE coalesces by byte size, which under-parallelizes CPU-heavy stages with
+# small shuffle bytes (verify ran on ~2 of 8 cores at the default advisory)
+# — a lower advisory keeps such stages wide.
+PART = int(os.environ.get("SCALE_PART", str(4 * N * 2)))
+ADVISORY_MB = int(os.environ.get("SCALE_ADVISORY_MB", "64"))
 
 PHASES = ["signatures", "candidates", "verify", "cc"]
 
 CHILD = r"""
 import json, os, shutil, sys, time, urllib.request
 sys.path.insert(0, "/root/repo")
-cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; AMP = int(sys.argv[3]); REP = int(sys.argv[4]); RUNS = int(sys.argv[5]); PART = int(sys.argv[6])
+cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; AMP = int(sys.argv[3]); REP = int(sys.argv[4]); RUNS = int(sys.argv[5]); PART = int(sys.argv[6]); ADV_MB = int(sys.argv[7])
 from pyspark.sql import functions as F
 from vid_dup_finder_lib_spark.session import get_spark
 from vid_dup_finder_lib_spark.config import SigConfig
@@ -79,6 +93,7 @@ spark = get_spark(
         "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
         "spark.ui.enabled": "true",
         "spark.local.dir": local_dir,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(ADV_MB * 1024 * 1024),
     },
 )
 sc = spark.sparkContext
@@ -209,12 +224,42 @@ def wait_for_quiet() -> tuple[bool, float]:
     return False, frac
 
 
-def run_once(cpus: int, sf_dir: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cpus), sf_dir, str(AMPLIFY),
-         str(REPEAT), str(RUNS_PER_CHILD), str(4 * N * 2)],
-        capture_output=True, text=True, timeout=3600,
-    )
+def _ballast_main(stop_path: str) -> None:
+    while not os.path.exists(stop_path):
+        x = 0
+        t0 = time.time()
+        while time.time() - t0 < 0.5:
+            x += 1
+
+
+def run_once(cpus: int, sf_dir: str, ballast: int = 0) -> dict:
+    procs = []
+    stop_path = f"/tmp/.ballast-stop-{os.getpid()}"
+    if ballast > 0:
+        import multiprocessing as mp
+
+        if os.path.exists(stop_path):
+            os.unlink(stop_path)
+        ctx = mp.get_context("fork")
+        procs = [ctx.Process(target=_ballast_main, args=(stop_path,), daemon=True)
+                 for _ in range(ballast)]
+        for p in procs:
+            p.start()
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", CHILD, str(cpus), sf_dir, str(AMPLIFY),
+             str(REPEAT), str(RUNS_PER_CHILD), str(PART), str(ADVISORY_MB)],
+            capture_output=True, text=True, timeout=3600,
+        )
+    finally:
+        if procs:
+            with open(stop_path, "w") as f:
+                f.write("stop")
+            for p in procs:
+                p.join(timeout=3)
+                if p.is_alive():
+                    p.terminate()
+            os.unlink(stop_path)
     if out.returncode != 0:
         print(out.stderr[-3000:], file=sys.stderr)
         raise SystemExit(f"child failed at cpus={cpus}")
@@ -232,8 +277,8 @@ def main() -> None:
     for _ in range(TRIALS):
         quiet, frac = wait_for_quiet()
         quiet_flags.append((quiet, round(frac, 2)))
-        lo.append(run_once(N, sf_dir))
-        hi.append(run_once(4 * N, sf_dir))
+        lo.append(run_once(N, sf_dir, ballast=BALLAST_LOW))
+        hi.append(run_once(4 * N, sf_dir, ballast=BALLAST_HIGH))
     for r in lo + hi:
         assert r["edges"] == lo[0]["edges"] and r["docs"] == lo[0]["docs"], "nondeterministic job!"
 
@@ -272,6 +317,11 @@ def main() -> None:
         "spark.local.dir (emulating executor-local disks), per-phase",
         "core-seconds from the Spark REST API + a Python-CPU accumulator in",
         "the Arrow signature kernel.",
+        (f"- DVFS-equalized pair: {BALLAST_LOW} ballast burn workers ran"
+         f" alongside the {N}-core level ({BALLAST_HIGH} at {4*N}) so both"
+         " levels execute at the same active-core count / clock; ballast"
+         " occupies otherwise-idle cores, it does not contend for the job's."
+         if BALLAST_LOW or BALLAST_HIGH else ""),
         "",
         f"- workload: dedup pipeline (signatures → LSH(32×4) → exact-Jaccard",
         f"  verify ≥0.5 → CC) over {r_lo['docs']} docs derived from {sf_dir}",

@@ -103,6 +103,8 @@ def strip_boilerplate(
     flagged = lines.join(bp, "line", "left").select(
         "id", "pos", "line", F.coalesce("_bp", F.lit(False)).alias("is_bp")
     )
+    # the A1 crop-union fold (Crop::union, crop.rs:53-68): per-side min/max
+    # aggregation over the member "frames" (lines) yields the retained window
     keep_w = F.when(~F.col("is_bp"), F.col("pos"))
     bounds = flagged.groupBy("id").agg(
         F.count("*").alias("n_lines"),
