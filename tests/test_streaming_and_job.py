@@ -32,6 +32,41 @@ def test_stream_signatures_available_now(spark, tmp_path):
     assert read_signature_table(spark, tgt).count() == 17
 
 
+def test_stream_exact_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: in-batch dups collapse to the
+    min id; later-batch dups of already-seen content are dropped via the
+    state store; new content still flows."""
+    from pyspark.sql import Row
+
+    from vid_dup_finder_lib_spark.streaming.dedup import stream_exact_dedup
+
+    src = str(tmp_path / "docs")
+    tgt = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "url string, text string"
+
+    b1 = [
+        Row(url="u3", text="alpha beta gamma"),
+        Row(url="u1", text="alpha beta gamma"),   # in-batch dup, min id wins
+        Row(url="u2", text="delta epsilon zeta"),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    stream_exact_dedup(spark, src, tgt, ckpt, schema)
+    got = {(r.content_hash, r.id): r.n_dups_in_batch for r in spark.read.parquet(tgt).collect()}
+    ids = {i for _, i in got}
+    assert ids == {"u1", "u2"}
+    assert sorted(got.values()) == [1, 2]
+
+    b2 = [
+        Row(url="u9", text="alpha beta gamma"),   # dup of batch-1 content
+        Row(url="u4", text="brand new document"),
+    ]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream_exact_dedup(spark, src, tgt, ckpt, schema)
+    ids2 = {r.id for r in spark.read.parquet(tgt).collect()}
+    assert ids2 == {"u1", "u2", "u4"}  # u9 swallowed by state
+
+
 def test_job_cli_end_to_end(spark, tmp_path):
     from vid_dup_finder_lib_spark.plans import job
 
