@@ -25,7 +25,6 @@ so the polynomial combine does not need to match xxhash64.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -61,10 +60,11 @@ def compute_signatures_arrow(
     include_token_hashes: bool = True,
     content_hash: pa.Array | None = None,
 ) -> pa.RecordBatch:
-    """``content_hash`` is normally a passthrough column computed JVM-side
+    """``content_hash`` is a passthrough column computed JVM-side
     (``F.sha2(text, 256)`` in operators/signatures.py) so that no row ever
-    becomes a Python object here; the hashlib fallback below exists only for
-    direct callers of this function and is NOT the production path."""
+    becomes a Python object here.  Direct callers must supply it (null-array
+    allowed); there is deliberately NO Python hashing fallback — the kernel
+    contains zero per-row Python."""
     n = len(texts)
     null_mask = pc.is_null(texts).to_numpy(zero_copy_only=False)
 
@@ -162,14 +162,10 @@ def compute_signatures_arrow(
     )
 
     if content_hash is None:
-        # fallback for direct callers only; the plan path passes the JVM
-        # sha2 projection through (zero Python-object materialization)
-        content_hash = pa.array(
-            [
-                None if t is None else hashlib.sha256(t.encode("utf-8")).hexdigest()
-                for t in texts.to_pylist()
-            ],
-            type=pa.string(),
+        raise ValueError(
+            "content_hash must be supplied (compute it JVM-side with "
+            "F.sha2(text, 256) as operators/signatures.py does); the Arrow "
+            "kernel never materializes document text as Python objects"
         )
 
     if include_token_hashes:
