@@ -64,3 +64,20 @@ def test_duration_sort_mode(spark):
     # the two pre-existing modes still work with the extended stats frame
     by_dist = [r.cluster_id for r in sort_groups(stats, "max_distance").collect()]
     assert by_dist == [3, 5, 1]
+
+
+def test_matchset_mega_component_guard(spark):
+    """A component above max_component_edges raises (never a silent OOM or
+    wrong answer); cc mode remains the documented fallback."""
+    import pytest
+
+    from vid_dup_finder_lib_spark.operators.grouping import matchset_groups
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 100, 100) for i in range(30)],
+        "id1 long, id2 long, len1 long, len2 long",
+    )
+    with pytest.raises(ValueError, match="max_component_edges"):
+        matchset_groups(edges, max_component_edges=10).collect()
+    # under the cap the same edges group fine
+    assert matchset_groups(edges, max_component_edges=100).count() > 0

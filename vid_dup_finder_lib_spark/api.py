@@ -118,8 +118,10 @@ def search_with_references(
     Returns (ref_id, cand_id, token_hamming).
     """
     tol = cfg.default_tolerance if tolerance is None else tolerance
-    ref_sigs = build_signatures(ref_docs, cfg, id_col, text_col)
-    cand_sigs = build_signatures(cand_docs, cfg, id_col, text_col)
+    # both signature tables feed two consumers each (band keys + the verify
+    # attach join): materialize or the Arrow stage re-executes per consumer
+    ref_sigs = _materialize(build_signatures(ref_docs, cfg, id_col, text_col), True)
+    cand_sigs = _materialize(build_signatures(cand_docs, cfg, id_col, text_col), True)
 
     rk = band_keys(ref_sigs, cfg).select("band_id", "band_hash", F.col("id").alias("id1"))
     ck = band_keys(cand_sigs, cfg).select("band_id", "band_hash", F.col("id").alias("id2"))

@@ -125,7 +125,10 @@ def connected_components(
     default_par = spark.sparkContext.defaultParallelism
     npart = int(max(1, min(default_par * 2, n_edges // rows_per_partition + 1)))
     if npart < e.rdd.getNumPartitions():
-        e = e.repartition(npart, "lo").localCheckpoint(eager=True)
+        # partition on the full pair: keying on "lo" alone would funnel a
+        # mega-component's edges (which all share lo = root as rounds
+        # contract) into one partition
+        e = e.repartition(npart, "lo", "hi").localCheckpoint(eager=True)
 
     converged = False
     for _ in range(max_iterations):

@@ -87,17 +87,32 @@ def _greedy_matchset(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def matchset_groups(edges: DataFrame) -> DataFrame:
+def matchset_groups(edges: DataFrame, max_component_edges: int = 5_000_000) -> DataFrame:
     """Exact reference-parity grouping: (cluster_id, id, is_seed).
 
     cluster_id is the seed's id.  Components are small (bounded by real dup
     cluster sizes), so the per-component pandas pass is cheap and fully
     parallel across components.
+
+    Guard: the greedy replay materializes one whole component per task.  A
+    pathological mega-component (chained boilerplate dupes) would OOM that
+    task, so components above ``max_component_edges`` raise with a clear
+    message instead — use ``grouping="cc"`` (fully distributed) or strip
+    boilerplate first.  Never a silent wrong answer.
     """
     assignment = connected_components(edges)
     e = edges.join(
         assignment.withColumnRenamed("id", "id1"), "id1"
     ).select("component", "id1", "id2", "len1", "len2")
+    e = e.localCheckpoint(eager=True)  # consumed by the guard AND the replay
+    biggest = e.groupBy("component").count().agg(F.max("count")).collect()[0][0]
+    if biggest is not None and biggest > max_component_edges:
+        raise ValueError(
+            f"matchset grouping: a component has {biggest} edges "
+            f"(> max_component_edges={max_component_edges}); the greedy "
+            "replay is per-component-in-memory by the reference's semantics "
+            "— use grouping='cc' or strip_boilerplate for corpora like this"
+        )
     return e.groupBy("component").applyInPandas(
         lambda pdf: _greedy_matchset(pdf), schema=_greedy_schema(edges)
     )
