@@ -652,6 +652,31 @@ def q_sampled_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data composition: near-dup clusters × quality scoring — keep
+    the highest-quality member per cluster (ties broken by min id), the
+    survivor-selection step of a dedup pipeline that prefers the best copy
+    rather than the first."""
+    from pyspark.sql.window import Window
+
+    cc = q_connected_components(spark, sf_dir)
+    derived = _derived_neardup(_docs(spark, sf_dir))
+    quality = derived.select(
+        F.col("doc_id"),
+        # integer quality surrogate: stopword hits (the en component of the
+        # langid family) — mutated copies lose stopwords to 'zz', so the
+        # base doc usually wins, deterministically in both engines
+        stopword_hits(F.col("text"), "en").alias("q"),
+    )
+    scored = cc.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("survivor_id"), F.col("q").alias("quality"))
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (task-brief dedup mode): exact
     cross-join form over the embeddings table — the oracle-checkable
@@ -763,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_docs": q_unique_docs,
         "group_filter": q_group_filter,
         "group_sort_duration": q_group_sort_duration,
+        "cluster_best_quality": q_cluster_best_quality,
         "missed_matches": q_missed_matches,
         "falsepos_filter": q_falsepos_filter,
         "confirmed_filter": q_confirmed_filter,
@@ -834,6 +860,18 @@ maxd AS (SELECT cluster_id, max(edge_dist) AS max_edge_dist FROM edge_c GROUP BY
 SELECT s.cluster_id, s.n_members, m.max_edge_dist,
        row_number() OVER (ORDER BY s.n_members DESC, s.cluster_id)::BIGINT AS rank
 FROM stats s LEFT JOIN maxd m USING (cluster_id)
+""",
+        "cluster_best_quality": prologue_r + sql_cc + f"""
+, q AS (
+  SELECT doc_id, len(list_filter(toks, x -> x IN ({sw['en']})))::BIGINT AS q
+  FROM derived
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.q,
+         row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.q DESC, c.doc_id) AS rn
+  FROM cc c JOIN q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS survivor_id, q AS quality FROM ranked WHERE rn = 1
 """,
         "group_filter": prologue_r + sql_cc + r"""
 , keptg AS (SELECT cluster_id, doc_id FROM cc WHERE doc_id % 3 <> 0),
