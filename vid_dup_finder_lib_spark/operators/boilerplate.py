@@ -95,6 +95,8 @@ def strip_boilerplate(
     * documents with null text pass through with null output and zero
       counts.
     """
+    from pyspark.sql.window import Window
+
     lines = _doc_lines(docs, id_col, text_col)
     bp = boilerplate_lines(
         docs, min_df_num, min_df_den, id_col, text_col, n_docs
@@ -104,55 +106,61 @@ def strip_boilerplate(
         "id", "pos", "line", F.coalesce("_bp", F.lit(False)).alias("is_bp")
     )
     # the A1 crop-union fold (Crop::union, crop.rs:53-68): per-side min/max
-    # aggregation over the member "frames" (lines) yields the retained window
+    # over the member "frames" (lines) yields the retained window.  Window
+    # functions instead of an agg + self-join: the per-round plan audit
+    # showed the join form re-deriving the whole lines/df subtree per branch
+    # — with windows + conditional collect_list the corpus is scanned once
+    # for the line stream and once for the df table, nothing more.
+    w = Window.partitionBy("id")
     keep_w = F.when(~F.col("is_bp"), F.col("pos"))
-    bounds = flagged.groupBy("id").agg(
-        F.count("*").alias("n_lines"),
-        F.min(keep_w).alias("first_keep"),
-        F.max(keep_w).alias("last_keep"),
+    ann = flagged.select(
+        "id",
+        "pos",
+        "line",
+        F.count("*").over(w).alias("n_lines"),
+        F.min(keep_w).over(w).alias("first_keep"),
+        F.max(keep_w).over(w).alias("last_keep"),
     )
-    kept = (
-        flagged.join(bounds, "id")
-        .where(
-            F.col("first_keep").isNotNull()
-            & F.col("pos").between(F.col("first_keep"), F.col("last_keep"))
-        )
-        .groupBy("id", "n_lines", "first_keep", "last_keep")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
+    # collect_list skips nulls: out-of-window lines vanish inside ONE groupBy;
+    # all-boilerplate docs (first_keep null) keep their row with an empty list
+    out = ann.groupBy("id", "n_lines", "first_keep", "last_keep").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("pos").between(
+                                F.col("first_keep"), F.col("last_keep")
+                            ),
+                            F.struct("pos", "line"),
+                        )
+                    )
                 ),
-                "\n",
-            ).alias("text_stripped")
-        )
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_stripped")
     )
-    out = kept.select(
+    out = out.select(
         "id",
         "text_stripped",
         "n_lines",
-        F.col("first_keep").cast("long").alias("n_stripped_leading"),
-        (F.col("n_lines") - 1 - F.col("last_keep")).cast("long").alias(
-            "n_stripped_trailing"
+        F.coalesce(F.col("first_keep").cast("long"), F.col("n_lines")).alias(
+            "n_stripped_leading"
         ),
+        F.when(F.col("first_keep").isNull(), F.lit(0).cast("long"))
+        .otherwise((F.col("n_lines") - 1 - F.col("last_keep")).cast("long"))
+        .alias("n_stripped_trailing"),
     )
-    # all-boilerplate docs have no kept rows; null-text docs have no lines at
-    # all — restore both from the id spine
-    spine = docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).isNull().alias("_null_text")
-    )
-    all_bp = (
-        spine.join(out.select("id"), "id", "left_anti")
-        .join(bounds, "id", "left")
+    # null-text docs have no lines at all — restore them from the id spine
+    null_docs = (
+        docs.where(F.col(text_col).isNull())
         .select(
-            "id",
-            F.when(F.col("_null_text"), F.lit(None).cast("string"))
-            .otherwise(F.lit(""))
-            .alias("text_stripped"),
-            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
-            F.coalesce("n_lines", F.lit(0)).alias("n_stripped_leading"),
+            F.col(id_col).alias("id"),
+            F.lit(None).cast("string").alias("text_stripped"),
+            F.lit(0).cast("long").alias("n_lines"),
+            F.lit(0).cast("long").alias("n_stripped_leading"),
             F.lit(0).cast("long").alias("n_stripped_trailing"),
         )
     )
-    return out.unionByName(all_bp)
+    return out.unionByName(null_docs)
