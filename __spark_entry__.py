@@ -252,6 +252,26 @@ def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
+def _sigs_edges_cc(spark: SparkSession, sf_dir: str):
+    """Shared: (signatures, edges, cc assignment), each stage executed ONCE.
+
+    The group-family queries need all three; composing the per-query helpers
+    instead would re-run the whole signature+LSH+verify chain per helper
+    call (each is independently checkpointed but separately executed)."""
+    from vid_dup_finder_lib_spark.operators.components import connected_components
+
+    sigs = _neardup_signatures(_docs(spark, sf_dir))
+    pairs, _q = candidate_pairs(sigs, ENTRY_CFG)
+    edges = verified_edges(
+        pairs, sigs, ENTRY_CFG, jaccard_num_den=(JACCARD_NUM, JACCARD_DEN), length_band=False
+    ).localCheckpoint(eager=True)
+    cc = connected_components(edges).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+    return sigs, edges, cc
+
+
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1: distributed union-find replacement — CC assignment over verified
     near-dup edges (cluster id = min member id)."""
@@ -278,8 +298,7 @@ def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance surrogate), with the output-sort rank as a column."""
     from pyspark.sql.window import Window
 
-    edges = _lsh_edges(spark, sf_dir)
-    cc = q_connected_components(spark, sf_dir)
+    _sigs, edges, cc = _sigs_edges_cc(spark, sf_dir)
     e = edges.join(
         cc.select(F.col("doc_id").alias("id1"), "cluster_id"), "id1"
     ).withColumn("edge_dist", F.col("union_count") - F.col("inter_count"))
@@ -317,13 +336,11 @@ def q_group_sort_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vid_dup_finder_lib_spark.operators.grouping import group_stats
 
-    sigs = _neardup_signatures(_docs(spark, sf_dir))
-    edges = _lsh_edges(spark, sf_dir).withColumn(
+    sigs, edges, cc = _sigs_edges_cc(spark, sf_dir)
+    edges = edges.withColumn(
         "token_hamming", F.col("union_count") - F.col("inter_count")
     )
-    cc = q_connected_components(spark, sf_dir).select(
-        "cluster_id", F.col("doc_id").alias("id")
-    )
+    cc = cc.select("cluster_id", F.col("doc_id").alias("id"))
     stats = group_stats(cc, edges, signatures=sigs)
     w = Window.orderBy(F.desc("max_doclen"), F.asc("cluster_id"))
     return stats.select(
@@ -659,7 +676,7 @@ def q_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than the first."""
     from pyspark.sql.window import Window
 
-    cc = q_connected_components(spark, sf_dir)
+    _sigs, _edges, cc = _sigs_edges_cc(spark, sf_dir)
     derived = _derived_neardup(_docs(spark, sf_dir))
     quality = derived.select(
         F.col("doc_id"),
