@@ -52,6 +52,25 @@ def test_long_chain(spark):
     assert got == {frozenset(range(40))}
 
 
+def test_large_mixed_graph(spark):
+    """2k nodes: several long chains (the large-star/small-star stress
+    shape) + dense blobs + random edges, vs the union-find oracle."""
+    rng = np.random.default_rng(33)
+    edges = []
+    for c in range(4):  # four 150-node chains
+        base = c * 150
+        edges += [(base + i, base + i + 1) for i in range(149)]
+    for b in range(3):  # three 30-node dense blobs
+        base = 700 + b * 30
+        edges += [(base + i, base + j) for i in range(30) for j in range(i + 1, 30, 7)]
+    edges += [
+        tuple(sorted(rng.choice(np.arange(800, 2000), 2, replace=False)))
+        for _ in range(400)
+    ]
+    edges = [(int(a), int(b)) for a, b in edges if a != b]
+    assert _cc_spark(spark, edges) == _uf_oracle(2000, edges)
+
+
 def test_path_graph_logarithmic_rounds(spark):
     """A 1000-node chain — the shape that breaks min-label propagation
     (needs O(diameter)=1000 rounds there; large-star/small-star must finish

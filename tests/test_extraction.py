@@ -54,3 +54,26 @@ def test_null():
 def test_deterministic():
     h = b"<html><body><p>a</p><p>b</p></body></html>"
     assert extract_text_bytes(h) == extract_text_bytes(h) == "a\nb"
+
+
+# -- robustness: the frozen extractor is total over arbitrary bytes ---------
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.binary(max_size=400)
+    | st.text(
+        alphabet="<>&;ab \n\t" + "\x0b" + "pbody/=\"'&amp;&lt;🦀", max_size=300
+    ).map(lambda s: s.encode("utf-8"))
+)
+def test_extractor_total_and_deterministic(data):
+    """Never raises on arbitrary byte soup; pure function of its input."""
+    from vid_dup_finder_lib_spark.extraction import extract_text_bytes
+
+    a = extract_text_bytes(data)
+    b = extract_text_bytes(data)
+    assert a == b
+    assert isinstance(a, str)
