@@ -66,6 +66,31 @@ def test_duration_sort_mode(spark):
     assert by_dist == [3, 5, 1]
 
 
+def test_duration_sort_requires_max_doclen_and_orders_nulls_last(spark):
+    """mode='duration' without signatures-built stats raises a clear error
+    (not an AnalysisException deep in the plan); groups whose members are all
+    error rows (null doclen -> null max_doclen) sort last in BOTH directions."""
+    import pytest
+
+    groups = _groups(spark, [(1, 1), (1, 2), (3, 3), (3, 4)])
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (3, 4, 30)], "id1 long, id2 long, token_hamming long"
+    )
+    stats_no_sigs = group_stats(groups, edges)  # no signatures -> no max_doclen
+    with pytest.raises(ValueError, match="max_doclen"):
+        sort_groups(stats_no_sigs, "duration")
+
+    # cluster 3's members have null doclen (error rows)
+    sigs = spark.createDataFrame(
+        [(1, 100), (2, 90), (3, None), (4, None)], "id long, doclen long"
+    )
+    stats = group_stats(groups, edges, signatures=sigs)
+    assert [r.cluster_id for r in sort_groups(stats, "duration").collect()] == [1, 3]
+    assert [
+        r.cluster_id for r in sort_groups(stats, "duration", descending=False).collect()
+    ] == [1, 3]
+
+
 def test_matchset_mega_component_guard(spark):
     """A component above max_component_edges raises (never a silent OOM or
     wrong answer); cc mode remains the documented fallback."""

@@ -18,6 +18,15 @@ def _regen(sf_dir):
     return expected_pairs(sf_dir)
 
 
+def test_fixture_is_independent_of_engine_and_contract_holds():
+    """The fixture tool hard-codes the frozen constants and reimplements the
+    simhash fold from scratch; this asserts the engine still agrees with that
+    frozen contract (a drift in either side fails here, not silently)."""
+    from tools.make_simhash_fixture import _assert_contract_matches_engine
+
+    _assert_contract_matches_engine()
+
+
 def test_fixture_not_stale():
     from tools.make_simhash_fixture import expected_pairs
 

@@ -67,6 +67,39 @@ def test_stream_exact_dedup_stateful(spark, tmp_path):
     assert ids2 == {"u1", "u2", "u4"}  # u9 swallowed by state
 
 
+def test_stream_dedup_null_text_not_collapsed(spark, tmp_path):
+    """sha2(null) is null: null-text docs must NOT share one state group and
+    be swallowed as 'duplicates' of each other — every null-text doc is
+    emitted (each under a per-id synthetic key), matching the batch path's
+    exclusion of null hashes from survivor selection."""
+    from pyspark.sql import Row
+
+    from vid_dup_finder_lib_spark.streaming.dedup import stream_exact_dedup
+
+    src = str(tmp_path / "docs")
+    tgt = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "url string, text string"
+
+    rows = [
+        Row(url="n1", text=None),
+        Row(url="n2", text=None),
+        Row(url="u1", text="real content here"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream_exact_dedup(spark, src, tgt, ckpt, schema)
+    ids = {r.id for r in spark.read.parquet(tgt).collect()}
+    assert ids == {"n1", "n2", "u1"}
+
+    # a second null-text doc in a later batch is also new, never state-dropped
+    spark.createDataFrame([Row(url="n3", text=None)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream_exact_dedup(spark, src, tgt, ckpt, schema)
+    ids2 = {r.id for r in spark.read.parquet(tgt).collect()}
+    assert ids2 == {"n1", "n2", "n3", "u1"}
+
+
 def test_job_cli_end_to_end(spark, tmp_path):
     from vid_dup_finder_lib_spark.plans import job
 

@@ -9,10 +9,13 @@ pairs, which are committed as a parquet fixture the DuckDB oracle reads via
 ``read_parquet``.  tests/test_simhash_oracle.py regenerates the expectation
 and asserts the committed fixture is not stale.
 
-Shared surface with the engine is deliberately minimal: the two mixing
-constants + the reference simhash fold (functions/hashing.simhash_reference)
-— the hash family is part of the frozen signature contract
-(SigConfig.fingerprint), not an implementation detail one engine may vary.
+Nothing here executes engine code: the shingle-mix constants are HARD-CODED
+(they are part of the frozen signature contract, SigConfig.fingerprint — not
+an implementation detail one engine may vary) and the simhash fold is an
+independent per-bit majority-vote reimplementation.  The only engine imports
+are inside ``_assert_contract_matches_engine``, which cross-checks that the
+engine still agrees with the frozen constants/fold on probe values — so a bug
+in the engine's shared fold is CAUGHT by the fixture, never reproduced by it.
 
 Usage: python tools/make_simhash_fixture.py [sf_dir ...]
 Writes fixtures/simhash_pairs_<sfname>.parquet for each input dir.
@@ -30,13 +33,54 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from vid_dup_finder_lib_spark.functions.hashing import simhash_values  # noqa: E402
-from vid_dup_finder_lib_spark.functions.sigkernel import _C1, _C2  # noqa: E402
-
 RADIUS = 3  # matches __spark_entry__.q_simhash_pairs
 SHINGLE_K = 3
 
+# frozen contract constants (splitmix64 / xxhash64 odd multipliers) — typed
+# out here by value, deliberately NOT imported from the engine
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
 _WS = re.compile(r"[ \t\n\r\f\x0B]+")
+
+
+def _simhash_independent(hashes: np.ndarray) -> int:
+    """From-scratch 64-bit SimHash: per-bit majority vote over the uint64
+    hash values; bit set iff strictly more than half the inputs have it set
+    (exact ties -> 0).  Written against the contract prose, not the engine
+    code (which uses a shift+reduceat formulation)."""
+    u = hashes.view(np.uint64) if hashes.dtype == np.int64 else hashes.astype(np.uint64)
+    n = len(u)
+    bits = (u[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    ones = bits.sum(axis=0)
+    packed = 0
+    for i in range(64):
+        if int(ones[i]) * 2 > n:
+            packed |= 1 << i
+    return packed if packed < (1 << 63) else packed - (1 << 64)
+
+
+def _assert_contract_matches_engine() -> None:
+    """The one place engine code is touched: probe that the engine's
+    constants and simhash fold still equal this tool's independent values.
+    A drift here means the frozen signature contract was broken — fail the
+    fixture build loudly instead of silently regenerating to match."""
+    from vid_dup_finder_lib_spark.functions import sigkernel as _sk
+    from vid_dup_finder_lib_spark.functions.hashing import simhash_reference as _engine_fold
+
+    assert _sk._C1 == _C1 and _sk._C2 == _C2, (
+        f"engine mix constants drifted: engine ({_sk._C1:#x}, {_sk._C2:#x}) "
+        f"vs frozen contract ({int(_C1):#x}, {int(_C2):#x})"
+    )
+    rng = np.random.default_rng(7)
+    for size in (1, 2, 3, 17, 256):
+        probe = rng.integers(0, 2**63, size=size, dtype=np.int64)
+        ours = _simhash_independent(probe)
+        theirs = _engine_fold(probe.tolist())
+        assert ours == theirs, (
+            f"simhash fold drifted on probe(size={size}): "
+            f"independent={ours:#x} engine={theirs:#x}"
+        )
 
 
 def _tokens(text: str) -> list[str]:
@@ -62,10 +106,7 @@ def _simhash(tokens: list[str]) -> int | None:
     sh = _shingle_hashes(tokens)
     if len(sh) == 0:
         return None
-    flat = sh.view(np.int64)
-    return int(
-        simhash_values(flat, np.zeros(1, dtype=np.int64), np.array([len(flat)]))[0]
-    )
+    return _simhash_independent(sh.view(np.int64))
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -114,6 +155,7 @@ def expected_pairs(sf_dir: str, radius: int = RADIUS) -> pd.DataFrame:
 
 
 def main() -> None:
+    _assert_contract_matches_engine()
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
     os.makedirs("/root/repo/fixtures", exist_ok=True)
     for sf_dir in sf_dirs:

@@ -205,10 +205,24 @@ def group_stats(
 def sort_groups(stats: DataFrame, mode: str = "num_matches", descending: bool = True) -> DataFrame:
     """O2 output sort: NumMatches / MaxDistance / Duration, each reversible —
     the six modes of search_output.rs:43-79 (the reference reverses via its
-    ``u32::MAX - key`` trick; here it is a sort direction)."""
+    ``u32::MAX - key`` trick; here it is a sort direction).
+
+    ``mode="duration"`` requires stats built with
+    ``group_stats(..., signatures=...)`` (that is where ``max_doclen`` comes
+    from); a stats frame without the column raises immediately instead of an
+    opaque AnalysisException.  Groups whose members are all error rows have
+    null ``max_doclen``; nulls sort LAST in both directions (explicit
+    ``*_nulls_last``) so placement is deterministic."""
     col = {
         "num_matches": "num_members",
         "max_distance": "max_distance",
         "duration": "max_doclen",
     }[mode]
-    return stats.orderBy(F.desc(col) if descending else F.asc(col), "cluster_id")
+    if col not in stats.columns:
+        raise ValueError(
+            f"sort_groups(mode={mode!r}) needs column {col!r}; "
+            "build stats with group_stats(groups, edges, signatures=sigs) "
+            "for the duration sort mode"
+        )
+    order = F.desc_nulls_last(col) if descending else F.asc_nulls_last(col)
+    return stats.orderBy(order, "cluster_id")

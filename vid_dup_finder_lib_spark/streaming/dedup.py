@@ -67,8 +67,17 @@ def stream_exact_dedup(
         .option("maxFilesPerTrigger", 64)
         .parquet(source_dir)
     )
+    # sha2(null) is null: without the coalesce every null-text doc would land
+    # in ONE state group and all but the first would be swallowed forever as
+    # "duplicates".  Null-text docs are not duplicates of each other (the
+    # batch path likewise excludes null hashes from survivor selection,
+    # operators/dedup.py), so each gets a per-id synthetic key and is always
+    # emitted.
     keyed = stream.select(
-        F.sha2(F.col(text_col), 256).alias("content_hash"),
+        F.coalesce(
+            F.sha2(F.col(text_col), 256),
+            F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+        ).alias("content_hash"),
         F.col(id_col).cast("string").alias("id"),
     )
     survivors = keyed.groupBy("content_hash").applyInPandasWithState(
