@@ -526,6 +526,7 @@ def q_refs_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±5 % length window, no consume (a cand may match many refs)."""
     from vid_dup_finder_lib_spark.operators.lsh import band_keys
     from vid_dup_finder_lib_spark.operators.verify import (
+        attach_signatures,
         jaccard_predicate,
         ref_length_band,
         with_distances,
@@ -546,21 +547,13 @@ def q_refs_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = band_keys(ref_sigs, ENTRY_CFG).select("band_id", "band_hash", F.col("id").alias("id1"))
     ck = band_keys(cand_sigs, ENTRY_CFG).select("band_id", "band_hash", F.col("id").alias("id2"))
     pairs = rk.join(ck, ["band_id", "band_hash"]).select("id1", "id2").distinct()
+    # Jaccard-only predicate: the token_hashes arrays are pruned from the
+    # verify shuffle (need_tokens=False — the symmetric pruning to
+    # api.search_with_references' need_shingles=False)
     both = with_distances(
-        pairs.join(
-            ref_sigs.select(
-                F.col("id").alias("id1"), F.col("doclen").alias("len1"),
-                F.col("shingle_hashes").alias("sh1"), F.col("shingle_count").alias("sc1"),
-                F.col("token_hashes").alias("th1"), F.col("simhash").alias("simhash1"),
-            ),
-            "id1",
-        ).join(
-            cand_sigs.select(
-                F.col("id").alias("id2"), F.col("doclen").alias("len2"),
-                F.col("shingle_hashes").alias("sh2"), F.col("shingle_count").alias("sc2"),
-                F.col("token_hashes").alias("th2"), F.col("simhash").alias("simhash2"),
-            ),
-            "id2",
+        attach_signatures(
+            pairs, ref_sigs, need_shingles=True, need_tokens=False,
+            signatures2=cand_sigs,
         )
     )
     out = both.where(

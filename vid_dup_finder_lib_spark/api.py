@@ -127,28 +127,14 @@ def search_with_references(
     ck = band_keys(cand_sigs, cfg).select("band_id", "band_hash", F.col("id").alias("id2"))
     pairs = rk.join(ck, ["band_id", "band_hash"]).select("id1", "id2").distinct()
 
-    # attach both sides' signatures: ref as id1, cand as id2
+    # attach both sides' signatures (ref as id1, cand as id2) with manual
+    # column pruning: the predicate below is token_hamming + length band
+    # only, so the wide shingle arrays are never shipped through the verify
+    # shuffle (need_shingles=False — same pruning as the self-search path)
     both = with_distances(
-        pairs.join(
-            ref_sigs.select(
-                F.col("id").alias("id1"),
-                F.col("doclen").alias("len1"),
-                F.col("shingle_hashes").alias("sh1"),
-                F.col("shingle_count").alias("sc1"),
-                F.col("token_hashes").alias("th1"),
-                F.col("simhash").alias("simhash1"),
-            ),
-            "id1",
-        ).join(
-            cand_sigs.select(
-                F.col("id").alias("id2"),
-                F.col("doclen").alias("len2"),
-                F.col("shingle_hashes").alias("sh2"),
-                F.col("shingle_count").alias("sc2"),
-                F.col("token_hashes").alias("th2"),
-                F.col("simhash").alias("simhash2"),
-            ),
-            "id2",
+        attach_signatures(
+            pairs, ref_sigs, need_shingles=False, need_tokens=True,
+            signatures2=cand_sigs,
         )
     )
     matched = both.where(

