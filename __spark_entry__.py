@@ -295,8 +295,12 @@ def q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/O2: per-cluster size + max edge distance (union−inter: an integer
-    distance surrogate), with the output-sort rank as a column."""
-    from pyspark.sql.window import Window
+    distance surrogate), with the output-sort rank as a column.
+
+    Rank via grouping.with_output_rank (two-phase: tiny per-key-count model
+    state + a window partitioned by n_members) — no single-partition global
+    window in the plan (round-2 verdict "What's wrong #3")."""
+    from vid_dup_finder_lib_spark.operators.grouping import with_output_rank
 
     _sigs, edges, cc = _sigs_edges_cc(spark, sf_dir)
     e = edges.join(
@@ -311,8 +315,9 @@ def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
     )
-    w = Window.orderBy(F.desc("n_members"), F.asc("cluster_id"))
-    return stats.withColumn("rank", F.row_number().over(w).cast("long"))
+    return with_output_rank(stats, "n_members", tie_col="cluster_id").select(
+        "cluster_id", "n_members", "max_edge_dist", "rank"
+    )
 
 
 def q_group_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,10 +336,9 @@ def q_group_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_group_sort_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 duration sort mode (search_output.rs:43-79): per-group stats with
-    max member doclen (the duration analog) and the sort rank."""
-    from pyspark.sql.window import Window
-
-    from vid_dup_finder_lib_spark.operators.grouping import group_stats
+    max member doclen (the duration analog) and the sort rank — rank computed
+    distributed (with_output_rank), no single-partition window."""
+    from vid_dup_finder_lib_spark.operators.grouping import group_stats, with_output_rank
 
     sigs, edges, cc = _sigs_edges_cc(spark, sf_dir)
     edges = edges.withColumn(
@@ -342,13 +346,12 @@ def q_group_sort_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = cc.select("cluster_id", F.col("doc_id").alias("id"))
     stats = group_stats(cc, edges, signatures=sigs)
-    w = Window.orderBy(F.desc("max_doclen"), F.asc("cluster_id"))
-    return stats.select(
+    return with_output_rank(stats, "max_doclen", tie_col="cluster_id").select(
         "cluster_id",
         F.col("num_members").cast("long"),
         F.col("max_distance").cast("long"),
         F.col("max_doclen").cast("long"),
-        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("rank"),
     )
 
 
