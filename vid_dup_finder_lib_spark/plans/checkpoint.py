@@ -15,11 +15,19 @@ North-rule requirements re-expressed from the reference's cache layer:
   finished stage;
 * metrics + lineage — every stage records row count, per-partition row
   counts (via ``spark_partition_id``), wall time and upstream stage names
-  into ``_manifest.json`` (A7's stats prints, made durable).
+  into ``_manifest.json`` (A7's stats prints, made durable);
+* snapshot retention — each overwrite keeps the previous stage generation
+  as ``<stage>.prev`` (the reference keeps timestamped DB backups,
+  ``match_db.rs:358-374,432-446``); ``restore(name)`` swaps it back so a
+  bad run is recoverable instead of destroying the only good state;
+* pipeline-level knobs beyond SigConfig (strip_boilerplate, min-df, ...)
+  fold into the fingerprint via ``extra_fingerprint`` so toggling them can
+  never silently reuse stages computed under different preprocessing.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -32,13 +40,36 @@ from pyspark.sql import functions as F
 from vid_dup_finder_lib_spark.config import SigConfig
 
 _MANIFEST = "_manifest.json"
+_PREV_SUFFIX = ".prev"
 
 
 class CheckpointStore:
-    def __init__(self, root: str, cfg: SigConfig):
+    def __init__(
+        self,
+        root: str,
+        cfg: SigConfig,
+        extra_fingerprint: dict | None = None,
+    ):
+        """``extra_fingerprint``: semantics-affecting knobs that live outside
+        SigConfig (e.g. the pipeline's strip_boilerplate/boilerplate_min_df).
+        They extend the stage fingerprint, so a stage built under one value
+        is refused under another — without this, re-running with a different
+        min-df would silently reuse the stale ``docs_stripped`` table (and
+        signatures computed from the other preprocessing), because the
+        refresh diff keys only on ``warc_ts``, which the strip preserves."""
         self.root = root
         self.cfg = cfg
+        self.extra_fingerprint = dict(extra_fingerprint or {})
         os.makedirs(root, exist_ok=True)
+
+    def fingerprint(self) -> str:
+        base = self.cfg.fingerprint()
+        if not self.extra_fingerprint:
+            return base
+        payload = base + json.dumps(
+            self.extra_fingerprint, sort_keys=True, default=str
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
     def _stage_dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -57,14 +88,14 @@ class CheckpointStore:
         m = self.manifest(name)
         if m is None:
             return False
-        if m.get("fingerprint") != self.cfg.fingerprint():
+        if m.get("fingerprint") != self.fingerprint():
             # analog of the reference's metadata validate-or-die: a stage
             # built under different options is never silently reused
             raise ValueError(
                 f"stage {name!r} was checkpointed under fingerprint "
-                f"{m.get('fingerprint')} but current config is "
-                f"{self.cfg.fingerprint()}; clear {self._stage_dir(name)} or "
-                "use a matching SigConfig"
+                f"{m.get('fingerprint')} (options {m.get('options')}) but the "
+                f"current configuration is {self.fingerprint()}; clear "
+                f"{self._stage_dir(name)} or use a matching configuration"
             )
         return True
 
@@ -92,7 +123,8 @@ class CheckpointStore:
         )
         manifest = {
             "stage": name,
-            "fingerprint": self.cfg.fingerprint(),
+            "fingerprint": self.fingerprint(),
+            "options": self.extra_fingerprint,
             "row_count": int(sum(r["count"] for r in part_counts)),
             "partition_rows": {int(r["partition_id"]): int(r["count"]) for r in part_counts},
             "num_partitions": len(part_counts),
@@ -103,11 +135,36 @@ class CheckpointStore:
         with open(os.path.join(tmp, _MANIFEST), "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
 
+        # snapshot retention: the outgoing generation becomes <stage>.prev
+        # instead of being destroyed (match_db.rs keeps timestamped backups;
+        # one retained generation + restore() is the recovery story here)
         final = self._stage_dir(name)
+        prev = final + _PREV_SUFFIX
         if os.path.exists(final):
-            shutil.rmtree(final)
+            if os.path.exists(prev):
+                shutil.rmtree(prev)
+            os.rename(final, prev)
         os.rename(tmp, final)  # atomic on the same filesystem
         return self.read(spark, name)
+
+    def restore(self, name: str) -> dict:
+        """Swap the retained previous generation back in (recovery from a
+        bad/corrupt run).  The bad generation is discarded; returns the
+        restored manifest.  Raises FileNotFoundError when no previous
+        generation was retained."""
+        final = self._stage_dir(name)
+        prev = final + _PREV_SUFFIX
+        if not os.path.exists(prev):
+            raise FileNotFoundError(
+                f"no retained previous generation for stage {name!r} ({prev})"
+            )
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(prev, final)
+        m = self.manifest(name)
+        if m is None:
+            raise ValueError(f"restored stage {name!r} has no manifest")
+        return m
 
     def run_stage(
         self,
@@ -125,6 +182,8 @@ class CheckpointStore:
     def metrics(self) -> dict[str, dict]:
         out = {}
         for name in sorted(os.listdir(self.root)):
+            if name.endswith(_PREV_SUFFIX) or name.startswith(".tmp-"):
+                continue  # retained snapshots / crashed temp dirs are not live stages
             m = self.manifest(name)
             if m is not None:
                 out[name] = m

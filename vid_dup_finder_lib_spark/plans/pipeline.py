@@ -55,8 +55,23 @@ def run_dedup_pipeline(
     ``strip_boilerplate``: optional pre-signature high-df line strip (the
     letterbox-crop analog; off by default like the reference CLI's
     ``Cropdetect::None``).  ``reload_errors``: retry cached error rows
-    (``--reload-errs``)."""
-    store = CheckpointStore(checkpoint_root, cfg)
+    (``--reload-errs``).
+
+    The strip knobs are part of the stage fingerprint: toggling
+    ``strip_boilerplate`` or changing ``boilerplate_min_df`` against an
+    existing checkpoint REFUSES (validate-or-die) instead of silently
+    reusing a ``docs_stripped``/``signatures`` table computed under the
+    other preprocessing — the refresh diff keys on ``warc_ts``, which the
+    strip deliberately preserves, so without the fingerprint the staleness
+    would be invisible."""
+    store = CheckpointStore(
+        checkpoint_root,
+        cfg,
+        extra_fingerprint={
+            "strip_boilerplate": strip_boilerplate,
+            "boilerplate_min_df": list(boilerplate_min_df),
+        },
+    )
     tol = cfg.default_tolerance if tolerance is None else tolerance
 
     if strip_boilerplate:
