@@ -74,6 +74,43 @@ def plan_refresh(
     return to_compute, keep, deleted
 
 
+SIG_COLS = [
+    "id", "doclen", "token_hashes", "shingle_count", "shingle_hashes",
+    "minhash", "simhash", "content_hash", "error", "cached_ts",
+]
+
+
+def _fresh_cols(df: DataFrame) -> DataFrame:
+    return df.select(*SIG_COLS)
+
+
+def compute_signature_delta(
+    docs: DataFrame,
+    cached: DataFrame,
+    cfg: SigConfig,
+    id_col: str = "url",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    reload_errors: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The refresh delta as three frames: (recomputed, kept, deleted_ids).
+
+    ``recomputed`` runs the Arrow kernel over ONLY the changed/new docs;
+    ``kept`` is the untouched cached rows; ``deleted_ids`` are ids gone from
+    the live corpus.  This is the O(delta) unit the partitioned store
+    persists (plans/sigstore.py) — recomputed ∪ deleted decide the dirty
+    buckets, kept rows in clean buckets are never rewritten.
+    """
+    to_compute, keep, deleted = plan_refresh(
+        docs, cached, id_col, ts_col, reload_errors=reload_errors
+    )
+    recomputed = build_signatures(to_compute, cfg, id_col, text_col).join(
+        to_compute.select(F.col(id_col).alias("id"), F.col(ts_col).alias("cached_ts")),
+        "id",
+    )
+    return _fresh_cols(recomputed), _fresh_cols(keep), deleted
+
+
 def refresh_signatures(
     docs: DataFrame,
     cached: DataFrame | None,
@@ -91,21 +128,13 @@ def refresh_signatures(
     or ``reload_errors=True`` (the ``--reload-errs`` flag), which adds every
     still-live error row to the recompute set.
     """
-    fresh_cols = lambda df: df.select(  # noqa: E731
-        "id", "doclen", "token_hashes", "shingle_count", "shingle_hashes",
-        "minhash", "simhash", "content_hash", "error", "cached_ts",
-    )
     if cached is None:
         fresh = build_signatures(docs, cfg, id_col, text_col).join(
             docs.select(F.col(id_col).alias("id"), F.col(ts_col).alias("cached_ts")), "id"
         )
-        return fresh_cols(fresh)
+        return _fresh_cols(fresh)
 
-    to_compute, keep, _deleted = plan_refresh(
-        docs, cached, id_col, ts_col, reload_errors=reload_errors
+    recomputed, keep, _deleted = compute_signature_delta(
+        docs, cached, cfg, id_col, text_col, ts_col, reload_errors=reload_errors
     )
-    recomputed = build_signatures(to_compute, cfg, id_col, text_col).join(
-        to_compute.select(F.col(id_col).alias("id"), F.col(ts_col).alias("cached_ts")),
-        "id",
-    )
-    return fresh_cols(recomputed).unionByName(fresh_cols(keep))
+    return recomputed.unionByName(keep)

@@ -13,13 +13,19 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+import os
+
 from vid_dup_finder_lib_spark.config import DEFAULT_CONFIG, SigConfig
 from vid_dup_finder_lib_spark.operators import matchdb
 from vid_dup_finder_lib_spark.operators.grouping import cc_groups, group_stats, matchset_groups
-from vid_dup_finder_lib_spark.operators.incremental import refresh_signatures
+from vid_dup_finder_lib_spark.operators.incremental import (
+    compute_signature_delta,
+    refresh_signatures,
+)
 from vid_dup_finder_lib_spark.operators.lsh import candidate_pairs
 from vid_dup_finder_lib_spark.operators.verify import verified_edges
 from vid_dup_finder_lib_spark.plans.checkpoint import CheckpointStore
+from vid_dup_finder_lib_spark.plans.sigstore import PartitionedSignatureStore
 
 
 @dataclass
@@ -47,6 +53,7 @@ def run_dedup_pipeline(
     strip_boilerplate: bool = False,
     boilerplate_min_df: tuple[int, int] = (1, 2),
     reload_errors: bool = False,
+    signature_buckets: int = 64,
 ) -> PipelineResult:
     """Resumable end-to-end run.  Re-invoking with the same checkpoint_root
     and config resumes after the last completed stage; with changed config
@@ -94,20 +101,30 @@ def run_dedup_pipeline(
             spark, "docs_stripped", _stripped, upstream=["docs"], force=force
         )
 
-    def _signatures():
-        cached = None
-        try:
-            if store.is_complete("signatures"):
-                cached = store.read(spark, "signatures")
-        except ValueError:
-            raise
-        return refresh_signatures(
+    # Signatures persist in the hash-partitioned store: compute is O(delta)
+    # (only changed docs hit the Arrow kernel) AND the write is O(delta)
+    # (only bucket partitions containing recomputed/deleted ids are
+    # rewritten — the MERGE INTO analog; round-2 rewrote the whole table).
+    # ``signature_buckets`` sizes the rewrite granularity; see sigstore.py.
+    sigstore = PartitionedSignatureStore(
+        os.path.join(checkpoint_root, "signatures"),
+        cfg,
+        num_buckets=signature_buckets,
+        extra_fingerprint=store.extra_fingerprint,
+    )
+    if not force and sigstore.exists():
+        cached = sigstore.read(spark)
+        recomputed, _kept, deleted = compute_signature_delta(
             docs, cached, cfg, id_col, text_col, ts_col, reload_errors=reload_errors
         )
-
-    # signatures stage always runs the refresh plan (it is itself the
-    # incremental fast path); the checkpoint write makes it durable.
-    sigs = store.write("signatures", _signatures(), upstream=["docs"])
+        sigstore.upsert(recomputed, deleted)
+    else:
+        sigstore.write_full(
+            refresh_signatures(
+                docs, None, cfg, id_col, text_col, ts_col, reload_errors=reload_errors
+            )
+        )
+    sigs = sigstore.read(spark)
 
     def _edges():
         pairs, quarantined = candidate_pairs(sigs, cfg)
