@@ -7,11 +7,19 @@ typed metadata, and the *Spark-side shape* of decode / feature-extract /
 resize / frame-sample is identical to the reference's: a bounded-memory
 per-item transform with errors as values.
 
-The codec libraries are not in this container, so the decode kernels are
-STUBBED behind ``DeterministicFakeDecoder`` (a seeded, content-addressed fake
-that produces stable pseudo-frames from the bytes — making the partitioning,
-UDF signatures, batch shapes and error paths real and testable) or raise
-``NotImplementedError`` when ``decoder="real"`` is requested.
+Decoders:
+
+* ``decoder="fake"`` — ``DeterministicFakeDecoder``, a seeded,
+  content-addressed fake producing stable pseudo-frames from the bytes
+  (makes partitioning, UDF signatures, batch shapes and error paths real
+  and testable for formats no in-container codec can read);
+* ``decoder="real"`` — ``RealDecoder``: genuine decode for the two formats
+  readable with what IS in this container (probe: no PIL/cv2/imageio/
+  soundfile): **PPM (P6) images**, parsed header + raw RGB with numpy, and
+  **RIFF/WAVE audio** via the stdlib ``wave`` module.  Unsupported payloads
+  become per-row error VALUES (``UnsupportedFormat:...``) — the cached-
+  Result discipline, never a task failure.  Wiring another codec means
+  adding one ``_decode_*`` sniffer here.
 """
 
 from __future__ import annotations
@@ -60,11 +68,113 @@ class DeterministicFakeDecoder:
         return rng.standard_normal((self.n_frames, self.feature_dim)).astype(np.float32)
 
 
-def _real_decoder(*_a, **_k):
-    raise NotImplementedError(
-        "real media decode requires codec libraries not present in this "
-        "environment; wire an image/audio/video decoder here"
-    )
+def _mean_pool(vec: np.ndarray, out_dim: int) -> np.ndarray:
+    """Deterministic fixed-size pooling: mean over ``out_dim`` equal chunks
+    (ragged tail folded into the last chunk)."""
+    if len(vec) == 0:
+        return np.zeros(out_dim, dtype=np.float32)
+    idx = np.linspace(0, len(vec), out_dim + 1).astype(np.int64)
+    idx[-1] = len(vec)
+    out = np.empty(out_dim, dtype=np.float32)
+    for i in range(out_dim):
+        lo, hi = idx[i], max(idx[i + 1], idx[i] + 1)
+        out[i] = float(vec[lo:hi].mean()) if lo < len(vec) else float(vec[-1])
+    return out
+
+
+class RealDecoder:
+    """Actual decode for formats readable without external codec libraries.
+
+    * PPM ``P6`` (binary RGB, the netpbm interchange format): header parsed
+      per spec (whitespace-separated tokens, ``#`` comments), pixel data
+      grayscaled (mean RGB, normalized by maxval) and mean-pooled to ONE
+      frame of ``feature_dim`` floats;
+    * ``RIFF....WAVE`` via stdlib ``wave``: 8/16/32-bit PCM, channels
+      averaged to mono, the sample stream split into ``n_frames`` equal
+      windows (the frame-sampling analog of the reference's 16-frame grab,
+      video_hash_builder.rs:56-62), each mean-pooled over absolute
+      normalized amplitude to ``feature_dim`` floats.
+
+    Malformed or unsupported payloads raise ValueError with a stable reason
+    string; ``extract_frame_features`` converts that to an error VALUE.
+    """
+
+    def __init__(self, n_frames: int = 16, feature_dim: int = 32):
+        self.n_frames = n_frames
+        self.feature_dim = feature_dim
+
+    def decode(self, payload: bytes | None) -> np.ndarray | None:
+        if payload is None or len(payload) == 0:
+            return None
+        if payload[:2] == b"P6":
+            return self._decode_ppm(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return self._decode_wav(payload)
+        raise ValueError(f"UnsupportedFormat:{payload[:4].hex()}")
+
+    def _decode_ppm(self, payload: bytes) -> np.ndarray:
+        pos = 0
+
+        def _token() -> bytes:
+            nonlocal pos
+            while pos < len(payload):
+                c = payload[pos : pos + 1]
+                if c == b"#":  # comment runs to end of line
+                    while pos < len(payload) and payload[pos : pos + 1] not in (b"\n", b"\r"):
+                        pos += 1
+                elif c.isspace():
+                    pos += 1
+                else:
+                    break
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            return payload[start:pos]
+
+        try:
+            magic = _token()
+            w, h, maxval = int(_token()), int(_token()), int(_token())
+            pos += 1  # exactly one whitespace byte separates header and raster
+        except (ValueError, IndexError) as exc:
+            raise ValueError(f"BadPpmHeader:{exc}") from exc
+        if magic != b"P6" or w <= 0 or h <= 0 or not (0 < maxval < 65536):
+            raise ValueError("BadPpmHeader:fields")
+        bytes_per = 1 if maxval < 256 else 2
+        need = w * h * 3 * bytes_per
+        raster = payload[pos : pos + need]
+        if len(raster) < need:
+            raise ValueError(f"PpmTruncated:{len(raster)}/{need}")
+        dt = np.uint8 if bytes_per == 1 else np.dtype(">u2")
+        px = np.frombuffer(raster, dtype=dt).astype(np.float32).reshape(h * w, 3)
+        gray = px.mean(axis=1) / float(maxval)
+        return _mean_pool(gray, self.feature_dim)[None, :]
+
+    def _decode_wav(self, payload: bytes) -> np.ndarray:
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                nch = wf.getnchannels()
+                sw = wf.getsampwidth()
+                raw = wf.readframes(wf.getnframes())
+        except (wave.Error, EOFError) as exc:
+            raise ValueError(f"BadWav:{exc}") from exc
+        if sw == 1:
+            samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif sw == 2:
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif sw == 4:
+            samples = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"BadWav:sampwidth={sw}")
+        if nch > 1:
+            samples = samples[: len(samples) - len(samples) % nch]
+            samples = samples.reshape(-1, nch).mean(axis=1)
+        if len(samples) == 0:
+            raise ValueError("BadWav:empty")
+        windows = np.array_split(np.abs(samples), self.n_frames)
+        return np.stack([_mean_pool(wnd, self.feature_dim) for wnd in windows])
 
 
 def extract_frame_features(
@@ -83,8 +193,7 @@ def extract_frame_features(
     if decoder == "fake":
         dec = DeterministicFakeDecoder(n_frames, feature_dim)
     elif decoder == "real":
-        dec = None
-        _real_decoder()
+        dec = RealDecoder(n_frames, feature_dim)
     else:
         raise ValueError(decoder)
 
@@ -94,12 +203,16 @@ def extract_frame_features(
                 "media_id": [], "frame_idx": [], "feature": [], "error": []
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                frames = dec.decode(payload)
+                try:
+                    frames = dec.decode(payload)
+                    err = None if frames is not None else "EmptyPayload"  # NotVideo analog
+                except ValueError as exc:
+                    frames, err = None, str(exc)
                 if frames is None:
                     out_rows["media_id"].append(mid)
                     out_rows["frame_idx"].append(0)
                     out_rows["feature"].append(None)
-                    out_rows["error"].append("EmptyPayload")  # NotVideo analog
+                    out_rows["error"].append(err)
                     continue
                 for i, f in enumerate(frames):
                     out_rows["media_id"].append(mid)
