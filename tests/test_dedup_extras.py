@@ -158,5 +158,10 @@ def test_multimodal_plumbing(spark):
     meta = {r.media_id: r.n_bytes for r in media_metadata(media).collect()}
     assert meta == {"m1": 11, "m2": 11, "m3": 0}
 
-    with pytest.raises(NotImplementedError):
-        extract_frame_features(media, decoder="real")
+    # decoder="real" now actually decodes (PPM/WAV — tests/test_multimodal_real.py);
+    # a payload no in-container codec reads becomes an error VALUE, not a raise
+    real = {r.media_id: r.error for r in extract_frame_features(media, decoder="real").collect()}
+    assert real["m1"].startswith("UnsupportedFormat:")
+    assert real["m3"] == "EmptyPayload"
+    with pytest.raises(ValueError):
+        extract_frame_features(media, decoder="nope")
