@@ -80,23 +80,36 @@ def main() -> None:
     spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus * 2)
     spark.sparkContext.setLogLevel("ERROR")
 
-    best_timings: dict[str, float] = {}
+    # one JSON line carrying BOTH min and median across trials: the min is
+    # the storm-shielded number, the median shows what a typical run on this
+    # host costs — the headline of record is whatever the driver captures
+    # from this output, never a separately-run quiet-window figure
+    from statistics import median
+
+    all_timings: list[dict[str, float]] = []
+    totals: list[float] = []
     best_total = None
     best_rate = None
     for t in range(trials):
         timings, total, n_docs, t_pipeline = run_suite(spark, entry, sf_dir)
         print(f"# trial {t + 1}/{trials}: {total}s", file=sys.stderr)
-        for k, v in timings.items():
-            best_timings[k] = min(best_timings.get(k, v), v)
+        all_timings.append(timings)
+        totals.append(total)
         if best_total is None or total < best_total:
             best_total = total
             best_rate = round(n_docs / t_pipeline, 1)
 
+    names = all_timings[0].keys()
+    min_timings = {k: round(min(tt[k] for tt in all_timings), 3) for k in names}
+    med_timings = {k: round(median(tt[k] for tt in all_timings), 3) for k in names}
+
     out = {
         "metric": "dedup_bench_total",
         "value": best_total,
+        "value_median": round(median(totals), 3),
         "unit": "sec",
-        "queries": best_timings,
+        "queries": min_timings,
+        "queries_median": med_timings,
         "sf": sf,
         "cpus": cpus,
         "trials": trials,
