@@ -610,6 +610,19 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_winnowed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed substring pass (Schleimer et al. sliding-window-min,
+    operators/substring.py): pairs sharing kept fingerprints at L=8, W=4.
+    Hash-order-dependent, so the oracle is a committed fixture from a
+    Spark-free naive reimplementation (tools/make_winnow_fixture.py)."""
+    from vid_dup_finder_lib_spark.operators.substring import substring_pairs
+
+    derived = _derived_neardup(_docs(spark, sf_dir))
+    return substring_pairs(
+        derived, L=8, winnow=4, id_col="doc_id", text_col="text"
+    ).select(F.col("id1").cast("long"), F.col("id2").cast("long"), "shared_windows")
+
+
 def q_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2: include/exclude prefix filter pushed into the scan
     (filename_pattern.rs semantics over the source column)."""
@@ -813,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
+        "substring_winnowed_pairs": q_substring_winnowed_pairs,
         "boilerplate_strip": q_boilerplate_strip,
         "embedding_neardup": q_embedding_neardup,
         "validation_conflicts": q_validation_conflicts,
@@ -1005,6 +1019,14 @@ WHERE source LIKE 'src1%' AND source NOT LIKE 'src12%'
         "simhash_pairs": r"""
 SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, simhash_hamming::INT AS simhash_hamming
 FROM read_parquet('/root/repo/fixtures/simhash_pairs_sf0.01.parquet')
+""",
+        # winnow keeps the MIN 64-bit window hash per W-window, so the kept
+        # subset is hash-order-dependent: fixture oracle from the Spark-free
+        # naive reimplementation (tools/make_winnow_fixture.py; staleness-
+        # guarded by tests/test_winnow_oracle.py)
+        "substring_winnowed_pairs": r"""
+SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, shared_windows::BIGINT AS shared_windows
+FROM read_parquet('/root/repo/fixtures/substring_winnow_sf0.01.parquet')
 """,
         "pair_expansion": prologue_r + sql_cc + r"""
 SELECT a.cluster_id, a.doc_id AS id1, b.doc_id AS id2
