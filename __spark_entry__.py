@@ -50,11 +50,17 @@ JACCARD_NUM, JACCARD_DEN = 2, 5  # threshold 0.4, applied as exact integers
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from vid_dup_finder_lib_spark.session import ensure_min_scan_parallelism
+
+    # the fixture is one single-row-group file: without the guard every
+    # kernel fused onto this scan runs on 1 core (no-op at cluster scale)
+    return ensure_min_scan_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from vid_dup_finder_lib_spark.session import ensure_min_scan_parallelism
+
+    return ensure_min_scan_parallelism(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _tokens(docs: DataFrame) -> DataFrame:

@@ -43,3 +43,24 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_min_scan_parallelism(df, min_partitions: int | None = None):
+    """Small-input guard: the local test fixtures are single-file,
+    single-row-group parquet, so the scan — and every map-side Arrow kernel
+    Catalyst fuses onto it (signatures, extraction, simhash) — runs on 1-2
+    cores no matter how many the session has.  At cluster scale inputs carry
+    orders of magnitude more row groups than cores and this returns the
+    input unchanged; below the threshold it costs one round-robin shuffle of
+    the raw rows (tiny by construction: only small inputs ever take it) and
+    buys full-width kernel stages.
+
+    Row order is not part of any operator's contract (all downstream
+    consumers aggregate/join), so the round-robin redistribution is safe.
+    """
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
