@@ -591,6 +591,23 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: hyperplane-LSH bucketed top-5 (sign-pattern buckets,
+    8 tables x 12 planes, exact cosine on candidates).  Rank output only —
+    float-free like ann_topk.  Plane-matrix-dependent, so the oracle is a
+    committed fixture from a Spark-free naive reimplementation
+    (tools/make_lsh_topk_fixture.py; staleness- and drift-guarded by
+    tests/test_lsh_topk_oracle.py)."""
+    from vid_dup_finder_lib_spark.operators.ann import lsh_bucket_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return lsh_bucket_topk(emb, k=5, dim=64, n_tables=8, n_planes=12, seed=42).select(
+        F.col("query_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("neighbor_id").cast("long"),
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-radius dedup (pigeonhole candidates + bit_count
     verify).  The result is hash-function-dependent, so the oracle reads a
@@ -830,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_band_pairs": q_length_band_pairs,
         "refs_search": q_refs_search,
         "ann_topk": q_ann_topk,
+        "lsh_bucket_topk": q_lsh_bucket_topk,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
         "substring_winnowed_pairs": q_substring_winnowed_pairs,
@@ -1025,6 +1043,16 @@ WHERE source LIKE 'src1%' AND source NOT LIKE 'src12%'
         "simhash_pairs": r"""
 SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, simhash_hamming::INT AS simhash_hamming
 FROM read_parquet('/root/repo/fixtures/simhash_pairs_sf0.01.parquet')
+""",
+        # plane-matrix-dependent candidates: fixture oracle from the
+        # Spark-free naive reimplementation (tools/make_lsh_topk_fixture.py;
+        # staleness- and PRNG-drift-guarded by tests/test_lsh_topk_oracle.py).
+        # ivf_topk deliberately has NO oracle twin: its centroid float sums
+        # reduce in partition order, so exact output is partitioning-
+        # dependent — it keeps recall-bound tests instead.
+        "lsh_bucket_topk": r"""
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, neighbor_id::BIGINT AS neighbor_id
+FROM read_parquet('/root/repo/fixtures/lsh_topk_sf0.01.parquet')
 """,
         # winnow keeps the MIN 64-bit window hash per W-window, so the kept
         # subset is hash-order-dependent: fixture oracle from the Spark-free

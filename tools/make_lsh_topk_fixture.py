@@ -1,0 +1,116 @@
+"""Hyperplane-LSH top-k oracle fixture generator.
+
+``lsh_bucket_topk`` (operators/ann.py) is plane-matrix-dependent: candidates
+are pairs sharing a sign-pattern bucket in any of ``N_TABLES`` random
+hyperplane tables, so the result cannot be recomputed by DuckDB from the
+embeddings alone.  Same treatment as simhash and winnowed-substring: an
+**independent, Spark-free** naive reimplementation computes the expected
+(query_id, rank, neighbor_id) rows, committed as a parquet fixture the
+oracle reads via ``read_parquet``; tests/test_lsh_topk_oracle.py regenerates
+and asserts both non-staleness and engine agreement.
+
+Independence: the plane matrix is a frozen contract value — re-derived here
+from the public numpy PCG64 spec (``default_rng(SEED).standard_normal``)
+with a hard-coded checksum guard (generator drift fails loudly instead of
+silently agreeing), NOT imported from the engine.  Bucketing, candidate
+expansion and ranking are naive per-vector loops written against the
+docstring spec, not the engine's batched matmul + DataFrame joins.
+
+Note the companion ``ivf_topk`` deliberately has NO fixture oracle: its
+k-means update reduces float partial sums in partition order, so the exact
+centroids (and near-tie assignments) are partitioning-dependent — a fixture
+would be brittle to legitimate replanning.  It keeps recall-bound tests
+(tests/test_signatures.py::test_ivf_recall) instead.
+
+Usage: python tools/make_lsh_topk_fixture.py [sf_dir ...]
+Writes fixtures/lsh_topk_<sfname>.parquet for each input dir.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+# frozen contract parameters — match __spark_entry__.q_lsh_bucket_topk
+SEED = 42
+N_TABLES = 8
+N_PLANES = 12
+DIM = 64
+K = 5
+
+
+def _planes() -> np.ndarray:
+    """The frozen (N_TABLES*N_PLANES, DIM) plane matrix, re-derived from the
+    public PCG64 stream and drift-guarded: if a future numpy changed the
+    stream, the checksum trips instead of the fixture silently diverging
+    from the engine's identically-derived matrix."""
+    p = np.random.default_rng(SEED).standard_normal((N_TABLES * N_PLANES, DIM))
+    checksum = float(np.abs(p).sum())
+    expected = 4894.161901  # frozen at generation time, numpy 2.x PCG64
+    if abs(checksum - expected) > 1e-5:
+        raise AssertionError(
+            f"plane-matrix checksum drifted: {checksum:.6f} != {expected:.6f} "
+            "(numpy generator stream changed — regenerate ALL lsh fixtures "
+            "and re-freeze, engine and fixture must move together)"
+        )
+    return p
+
+
+def expected_topk(sf_dir: str) -> pd.DataFrame:
+    """(query_id, rank, neighbor_id): naive reimplementation — per-vector
+    bucket loops, dict-of-lists inverted index, per-query sort."""
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = [int(v) for v in tab.column("vec_id").to_pylist()]
+    vecs = [np.asarray(v, dtype=np.float64) for v in tab.column("embedding").to_pylist()]
+    planes = _planes()
+
+    # sign-pattern bucket per (vector, table), one naive dot per plane
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for vid, v in zip(ids, vecs):
+        for t in range(N_TABLES):
+            key = 0
+            for j in range(N_PLANES):
+                if float(np.dot(planes[t * N_PLANES + j], v)) > 0.0:
+                    key |= 1 << j
+            buckets[(t, key)].append(vid)
+
+    cands: dict[int, set[int]] = defaultdict(set)
+    for members in buckets.values():
+        for a in members:
+            for b in members:
+                if a != b:
+                    cands[a].add(b)
+
+    byid = dict(zip(ids, vecs))
+    norms = {vid: float(np.linalg.norm(v)) for vid, v in byid.items()}
+    rows = []
+    for qid in sorted(cands):
+        scored = sorted(
+            (
+                (-float(np.dot(byid[qid], byid[nid])) / (norms[qid] * norms[nid]), nid)
+                for nid in cands[qid]
+            ),
+        )
+        for rank, (_, nid) in enumerate(scored[:K], start=1):
+            rows.append((qid, rank, nid))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id"]).astype("int64")
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    os.makedirs("/root/repo/fixtures", exist_ok=True)
+    for sf_dir in sf_dirs:
+        name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        df = expected_topk(sf_dir)
+        path = f"/root/repo/fixtures/lsh_topk_{name}.parquet"
+        df.to_parquet(path, index=False)
+        print(f"{path}: {len(df)} rows")
+
+
+if __name__ == "__main__":
+    main()
