@@ -701,6 +701,68 @@ def q_sampled_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vid_dup_finder_lib_spark.session import ensure_min_scan_parallelism
+
+    return ensure_min_scan_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_asof_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal: backward-inclusive as-of join — each click picks the same
+    user's latest view at or before it (operators/temporal.py, the union +
+    ordered-carry-forward form: one shuffle, no range join).  Oracle: DuckDB
+    native ASOF LEFT JOIN.  Right side deduped per (user, ts) for full
+    determinism under ties."""
+    from pyspark.sql.window import Window
+
+    from vid_dup_finder_lib_spark.operators.temporal import asof_join
+    from vid_dup_finder_lib_spark.operators.temporal import epoch_us as temporal_epoch_us
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    wded = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        views.withColumn("_rn", F.row_number().over(wded)).where(F.col("_rn") == 1).drop("_rn")
+    )
+    j = asof_join(clicks, views, on="user_id")
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("r_event_id").alias("view_id"),
+        (temporal_epoch_us("ts") - temporal_epoch_us("r_ts")).alias("lag_us"),
+    )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal: gap sessionization (12 h inactivity) -> per-session summary.
+    lag + running-sum window per user; ties ordered by event_id."""
+    from vid_dup_finder_lib_spark.operators.temporal import epoch_us as temporal_epoch_us
+    from vid_dup_finder_lib_spark.operators.temporal import sessionize
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=43200)
+    return s.groupBy(
+        F.col("user_id").cast("long").alias("user_id"), "session_idx"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(temporal_epoch_us("ts")).alias("start_us"),
+        F.max(temporal_epoch_us("ts")).alias("end_us"),
+    )
+
+
+def q_event_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal: tumbling daily rollup per event type — pure map-side-
+    combinable groupBy; the sum runs on DECIMAL(18,2) because double
+    addition is partial-aggregation-order-dependent (not reproducible
+    across partitionings, let alone engines)."""
+    from vid_dup_finder_lib_spark.operators.temporal import window_rollup
+
+    return window_rollup(
+        _events(spark, sf_dir), width="day", group_cols=("event_type",)
+    )
+
+
 def q_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data composition: near-dup clusters × quality scoring — keep
     the highest-quality member per cluster (ties broken by min id), the
@@ -848,6 +910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refs_search": q_refs_search,
         "ann_topk": q_ann_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
+        "asof_view_before_click": q_asof_view_before_click,
+        "sessionization": q_sessionization,
+        "event_window_rollup": q_event_window_rollup,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
         "substring_winnowed_pairs": q_substring_winnowed_pairs,
@@ -1043,6 +1108,47 @@ WHERE source LIKE 'src1%' AND source NOT LIKE 'src12%'
         "simhash_pairs": r"""
 SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, simhash_hamming::INT AS simhash_hamming
 FROM read_parquet('/root/repo/fixtures/simhash_pairs_sf0.01.parquet')
+""",
+        # temporal operators over the events table: DuckDB's native ASOF
+        # LEFT JOIN is the independent twin of operators/temporal.asof_join
+        "asof_view_before_click": r"""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT c.event_id AS click_id, c.user_id::BIGINT AS user_id,
+       v.event_id AS view_id, epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+        "sessionization": r"""
+WITH flag AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+         THEN 1 ELSE 0 END AS nf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+    SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flag
+)
+SELECT user_id::BIGINT AS user_id, session_idx, COUNT(*) AS n_events,
+       MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+FROM sess GROUP BY 1, 2
+""",
+        "event_window_rollup": r"""
+SELECT epoch_us(date_trunc('day', ts)) AS window_start_us, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(18,2))) AS value_sum,
+       MIN(value) AS value_min, MAX(value) AS value_max
+FROM events GROUP BY 1, 2
 """,
         # plane-matrix-dependent candidates: fixture oracle from the
         # Spark-free naive reimplementation (tools/make_lsh_topk_fixture.py;

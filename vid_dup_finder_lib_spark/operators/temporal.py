@@ -1,0 +1,168 @@
+"""Temporal operators over event streams: as-of join, gap sessionization,
+tumbling-window rollup.
+
+A web-scale training-data pipeline is not only dedup: crawl/event telemetry
+feeds it (which page version was live when a label was captured, how user
+interaction sessions delimit documents, per-window ingest rates).  Spark has
+no built-in as-of join (the task brief names it as a required custom
+operator); the reference's closest analog is the mtime-based "which cache
+entry was current at scan time" logic (``processing_fs_cache.rs:149-199``).
+
+Scale notes:
+
+* ``asof_join`` uses the union + ordered carry-forward formulation: tag both
+  sides, union, one window per key ordered by (ts, side).  ONE shuffle on
+  the key — no range-condition join, which Catalyst would plan as a
+  broadcast-nested-loop (quadratic per key).  A pathologically hot key
+  serializes its own carry-forward scan (windows are per-key sequential);
+  that is inherent to ordered semantics and documented, not hidden — at
+  10^12 rows you pre-partition by (key, coarse time bucket) if a single
+  entity can dominate.
+* ``sessionize`` is lag + running sum over the same per-key window shape.
+* ``window_rollup`` is a pure groupBy on a truncated timestamp — map-side
+  combinable, no window function, the cheapest possible shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def epoch_us(col) -> Column:
+    """Microseconds since epoch for TIMESTAMP and TIMESTAMP_NTZ alike (NTZ
+    is interpreted in the session timezone — UTC throughout this repo —
+    matching DuckDB's ``epoch_us`` on naive timestamps)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Backward inclusive as-of join: each left row picks the right row with
+    the greatest ``right_ts <= left_ts`` for the same ``on`` key (DuckDB
+    ``ASOF JOIN`` semantics, pandas ``merge_asof(direction='backward')``).
+
+    Left rows with no prior right row keep null right columns (left outer).
+    ``tolerance_us`` additionally requires ``left_ts - right_ts`` within the
+    given microseconds (matches met right rows only).
+
+    Right-side columns come back prefixed ``r_``.  If several right rows
+    share the matching (key, ts) the one latest in (ts, natural column
+    order) wins — pre-dedupe the right side for full determinism, as
+    q_asof_view_before_click does.
+    """
+    rcols = [c for c in right.columns if c != on]
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c) for c in rcols]).alias("s")).schema["s"].dataType
+        ).alias("_r"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(*[F.col(c) for c in rcols]).alias("_r"),
+    )
+    # right rows sort before left rows at equal ts -> "<=" is inclusive
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        l_tag.unionByName(r_tag)
+        .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+        .where(F.col("_is_left") == 1)
+    )
+    if tolerance_us is not None:
+        carried = carried.withColumn(
+            "_match",
+            F.when(
+                F.col(f"_match.{right_ts}").isNotNull()
+                & (
+                    epoch_us(F.col("_ts")) - epoch_us(F.col(f"_match.{right_ts}"))
+                    <= F.lit(tolerance_us)
+                ),
+                F.col("_match"),
+            ),
+        )
+    out = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_match.{c}").alias(f"r_{c}") for c in rcols
+    ]
+    return carried.select(*out)
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to the
+    previous event of the same key exceeds ``gap_seconds`` (or at the first
+    event).  Adds ``session_idx`` (0-based per key, in time order).
+
+    Ties on ``ts`` are ordered by every remaining column for determinism.
+    """
+    others = [c for c in events.columns if c not in (key, ts)]
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in others]
+    w = Window.partitionBy(key).orderBy(*order)
+    gap_us = gap_seconds * 1_000_000
+    new_flag = (
+        F.coalesce(
+            (epoch_us(F.col(ts)) - epoch_us(F.lag(ts).over(w)))
+            > F.lit(gap_us),
+            F.lit(True),
+        )
+    ).cast("long")
+    return events.withColumn(
+        "session_idx",
+        F.sum(new_flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1,
+    )
+
+
+def window_rollup(
+    events: DataFrame,
+    width: str = "hour",
+    ts: str = "ts",
+    group_cols: tuple[str, ...] = (),
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window rollup: (window_start, *group_cols) -> count + exact
+    decimal sum + min/max of ``value_col``.
+
+    The sum runs on DECIMAL(18,2): float addition is order-dependent under
+    Spark's partial aggregation, so a double sum is not reproducible across
+    partitionings — decimal is exact, associative, and oracle-comparable.
+    Pure groupBy (map-side combinable); window_start is emitted as epoch
+    microseconds (timezone-free for cross-engine comparison).
+    """
+    start = F.date_trunc(width, F.col(ts))
+    dec = F.col(value_col).cast("decimal(18,2)")
+    return (
+        events.groupBy(
+            epoch_us(start).alias("window_start_us"),
+            *[F.col(c) for c in group_cols],
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec).alias("value_sum"),
+            F.min(F.col(value_col)).alias("value_min"),
+            F.max(F.col(value_col)).alias("value_max"),
+        )
+    )
