@@ -763,6 +763,40 @@ def q_event_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl preprocessing: URL canonicalization + revisit collapse.
+    Messy URL spellings (case, default ports, slash runs, fragments,
+    tracking params, unsorted queries) are derived deterministically from
+    doc_id/source, canonicalized with functions/urltools.canonical_url
+    (pure codegen expressions), and grouped; the oracle reimplements both
+    derivation and canonicalization rules in DuckDB SQL."""
+    from vid_dup_finder_lib_spark.functions.urltools import canonical_url
+
+    d = F.col("doc_id")
+    messy = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+            F.lit("://"),
+            F.when(d % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+            F.lit(".Example.COM"),
+            F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+            F.lit("/a//"),
+            (d % 50).cast("string"),
+            F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("?utm_source=news&b=2&a=1")).otherwise(
+                F.lit("?b=2&a=1")
+            ),
+            F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    canon = messy.select("doc_id", canonical_url("url").alias("canonical_url"))
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("survivor_doc_id"),
+    )
+
+
 def q_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data composition: near-dup clusters × quality scoring — keep
     the highest-quality member per cluster (ties broken by min id), the
@@ -911,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "asof_view_before_click": q_asof_view_before_click,
+        "url_canonical_dedup": q_url_canonical_dedup,
         "sessionization": q_sessionization,
         "event_window_rollup": q_event_window_rollup,
         "simhash_pairs": q_simhash_pairs,
@@ -1108,6 +1143,63 @@ WHERE source LIKE 'src1%' AND source NOT LIKE 'src12%'
         "simhash_pairs": r"""
 SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, simhash_hamming::INT AS simhash_hamming
 FROM read_parquet('/root/repo/fixtures/simhash_pairs_sf0.01.parquet')
+""",
+        # URL canonicalization: derivation AND rules reimplemented in SQL
+        # (DuckDB regexp/list functions; note regexp_replace needs the 'g'
+        # flag where Spark's is global by default)
+        "url_canonical_dedup": r"""
+WITH messy AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+    (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) || '.Example.COM' ||
+    (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ||
+    '/a//' || (doc_id % 50)::VARCHAR ||
+    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+    (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=news&b=2&a=1' ELSE '?b=2&a=1' END) ||
+    (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM messy
+),
+split1 AS (
+  SELECT doc_id, scheme,
+    lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS authority,
+    regexp_replace(regexp_extract(rest, '^[^/?#]*(.*)$', 1), '#.*$', '') AS no_frag
+  FROM parts
+),
+split2 AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http'  THEN regexp_replace(authority, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(authority, ':443$', '')
+         ELSE authority END AS host,
+    regexp_extract(no_frag, '^([^?]*)', 1) AS path0,
+    regexp_extract(no_frag, '\?(.*)$', 1) AS query0
+  FROM split1
+),
+cleaned AS (
+  SELECT doc_id, scheme, host,
+    CASE WHEN p = '' THEN '/' ELSE p END AS path,
+    array_to_string(
+      list_sort(list_filter(string_split(query0, '&'),
+        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))),
+      '&') AS qcanon
+  FROM (
+    SELECT *, regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'), '(.)/$', '\1') AS p
+    FROM split2
+  )
+),
+canon AS (
+  SELECT doc_id,
+    scheme || '://' || host || path ||
+      (CASE WHEN qcanon = '' THEN '' ELSE '?' || qcanon END) AS canonical_url
+  FROM cleaned
+)
+SELECT canonical_url, COUNT(*) AS n_docs, MIN(doc_id) AS survivor_doc_id
+FROM canon GROUP BY 1
 """,
         # temporal operators over the events table: DuckDB's native ASOF
         # LEFT JOIN is the independent twin of operators/temporal.asof_join

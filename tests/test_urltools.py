@@ -1,0 +1,75 @@
+"""URL canonicalization + crawl-revisit collapse."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from vid_dup_finder_lib_spark.functions.urltools import canonical_url
+from vid_dup_finder_lib_spark.operators.dedup import latest_snapshot_per_url
+
+CASES = [
+    # scheme/host case + default port
+    ("HTTP://Example.COM:80/a", "http://example.com/a"),
+    ("https://EXAMPLE.com:443/a", "https://example.com/a"),
+    # non-default port survives
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    # :443 is only default for https (and vice versa)
+    ("http://example.com:443/a", "http://example.com:443/a"),
+    # fragment dropped
+    ("http://example.com/a#sec-2", "http://example.com/a"),
+    # tracking params dropped, remainder sorted, empty params dropped
+    ("http://e.com/p?utm_source=x&b=2&a=1&fbclid=y&gclid=z&ref=r&&",
+     "http://e.com/p?a=1&b=2"),
+    # utm_ prefix family, bare (no =) tracking token
+    ("http://e.com/p?utm_campaign&z=9", "http://e.com/p?z=9"),
+    # query emptied entirely -> no '?'
+    ("http://e.com/p?utm_source=x", "http://e.com/p"),
+    # slash runs collapse, trailing slash dropped
+    ("http://e.com//a///b/", "http://e.com/a/b"),
+    # root slash stays; empty path becomes /
+    ("http://e.com/", "http://e.com/"),
+    ("http://e.com", "http://e.com/"),
+    # path case is PRESERVED (paths are case-sensitive)
+    ("http://e.com/CaseSensitive", "http://e.com/CaseSensitive"),
+    # 'reference' is not the tracking param 'ref'
+    ("http://e.com/p?reference=1", "http://e.com/p?reference=1"),
+    # non-URL input: lowercase-trimmed passthrough, never null
+    ("  not a url  ", "not a url"),
+]
+
+
+def test_canonical_url_rules(spark):
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CASES)], "i: int, url: string")
+    got = {r.i: r.c for r in df.select("i", canonical_url("url").alias("c")).collect()}
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_latest_snapshot_per_url(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # three spellings of one page, increasing ts -> newest survives
+        ("http://E.com:80/a?b=2&a=1", t0, "v1"),
+        ("HTTP://e.com/a?a=1&b=2&utm_source=x", t0 + dt.timedelta(days=1), "v2"),
+        ("http://e.com//a/?a=1&b=2#frag", t0 + dt.timedelta(days=2), "v3"),
+        # unrelated page
+        ("http://e.com/b", t0, "other"),
+    ]
+    docs = spark.createDataFrame(rows, "url: string, warc_ts: timestamp, text: string")
+    out = {r.canonical_url: (r.text, r.n_snapshots) for r in latest_snapshot_per_url(docs).collect()}
+    assert out == {
+        "http://e.com/a?a=1&b=2": ("v3", 3),
+        "http://e.com/b": ("other", 1),
+    }
+
+
+def test_latest_snapshot_tie_breaks_deterministic(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    docs = spark.createDataFrame(
+        [("http://e.com/a", t0, "x"), ("HTTP://e.com/a", t0, "y")],
+        "url: string, warc_ts: timestamp, text: string",
+    )
+    rows = latest_snapshot_per_url(docs).collect()
+    assert len(rows) == 1
+    # equal ts -> desc original url; lowercase 'h' (0x68) > 'H' (0x48)
+    assert rows[0].text == "x"
