@@ -1,0 +1,97 @@
+"""Streaming tumbling-window rollup with watermarked late-data handling.
+
+The continuous form of ``operators/temporal.window_rollup`` for event
+streams that arrive out of order (crawl telemetry, ingest counters): a
+``window()`` aggregation under a watermark, so state for closed windows is
+dropped instead of growing forever — the canonical Structured Streaming
+shape (watermark + windowed agg) the task brief asks for.
+
+Semantics:
+
+* events later than ``watermark_delay`` behind the max seen event time are
+  DROPPED by Spark — late data is bounded, not silently unbounded state;
+* output mode ``append`` emits each window exactly once, when the watermark
+  passes its end — downstream sinks never see a window twice;
+* the sum runs on DECIMAL(18,2) for the same reproducibility reason as the
+  batch rollup (double addition is aggregation-order-dependent).
+
+Parity contract (tested): for a fully-replayed, in-order-by-batch stream,
+the emitted windows equal the batch ``window_rollup`` output on the same
+rows — streaming is an execution mode, not a different answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vid_dup_finder_lib_spark.operators.temporal import epoch_us
+
+
+def windowed_rollup_stream(
+    events: DataFrame,
+    width: str = "1 hour",
+    ts: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Transform a streaming events DataFrame into watermarked tumbling-
+    window aggregates (same columns as the batch window_rollup).
+
+    The input must be a streaming DataFrame (``spark.readStream``); apply
+    ``.writeStream.outputMode("append")`` to the result.
+    """
+    dec = F.col(value_col).cast("decimal(18,2)")
+    # cast BEFORE the watermark: a cast inside window() would be a new
+    # expression the analyzer can't link back to the watermarked column
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    win = F.window(F.col(ts), width)
+    return (
+        events.withWatermark(ts, watermark_delay)
+        .groupBy(win.alias("_w"), *[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec).alias("value_sum"),
+            F.min(F.col(value_col)).alias("value_min"),
+            F.max(F.col(value_col)).alias("value_max"),
+        )
+        .select(
+            epoch_us(F.col("_w.start")).alias("window_start_us"),
+            *group_cols,
+            "n_events",
+            "value_sum",
+            "value_min",
+            "value_max",
+        )
+    )
+
+
+def run_rollup_to_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    schema,
+    width: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+):
+    """availableNow driver: stream events parquet -> watermarked rollup ->
+    append-only parquet sink.  Returns the StreamingQuery (await it)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(source_dir)
+    )
+    rolled = windowed_rollup_stream(
+        stream, width=width, group_cols=group_cols, watermark_delay=watermark_delay
+    )
+    return (
+        rolled.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
