@@ -128,20 +128,25 @@ def candidate_pairs(
         raise ValueError(f"unknown overcap policy {overcap!r}")
     keys = band_keys(signatures, cfg)
 
-    sizes = keys.groupBy("band_id", "band_hash").agg(F.count("*").alias("bucket_size"))
+    # bucket sizing runs ONCE: only the over-cap rows survive (tiny by
+    # definition — they are the skew outliers) and are materialized, so the
+    # three consumers (anti-join broadcast, hot semi-join broadcast,
+    # quarantine report) don't each replan the full band_keys scan +
+    # count aggregation (the physical plan used to carry three copies of
+    # that subtree).  Cost: one eager job here; the full-size table is
+    # never retained.
     hard_cap = cfg.max_bucket_size * salt_groups * salt_groups
-    quarantined = sizes.where(F.col("bucket_size") > hard_cap)
-    hot = sizes.where(
-        (F.col("bucket_size") > cfg.max_bucket_size)
-        & (F.col("bucket_size") <= hard_cap)
+    over = (
+        keys.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") > cfg.max_bucket_size)
+        .localCheckpoint(eager=True)
     )
+    quarantined = over.where(F.col("bucket_size") > hard_cap)
+    hot = over.where(F.col("bucket_size") <= hard_cap)
 
     ok_keys = keys.join(
-        F.broadcast(
-            sizes.where(F.col("bucket_size") > cfg.max_bucket_size).select(
-                "band_id", "band_hash"
-            )
-        ),
+        F.broadcast(over.select("band_id", "band_hash")),
         ["band_id", "band_hash"],
         "left_anti",
     )
