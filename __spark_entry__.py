@@ -608,6 +608,25 @@ def q_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2: IVF (k-means inverted file, nprobe search).
+    Oracle-able since round 3: the k-means update accumulates fixed-point
+    int64 (exactly associative — partitioning-independent centroids) with a
+    splitmix64 contract-hash init, so the committed fixture from the
+    Spark-free naive reimplementation (tools/make_ivf_fixture.py) matches
+    for any partitioning.  Rank output only, float-free."""
+    from vid_dup_finder_lib_spark.operators.ann import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return ivf_topk(
+        emb, k=5, dim=64, n_centroids=16, nprobe=4, n_iter=10, seed=42
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("neighbor_id").cast("long"),
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-radius dedup (pigeonhole candidates + bit_count
     verify).  The result is hash-function-dependent, so the oracle reads a
@@ -944,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refs_search": q_refs_search,
         "ann_topk": q_ann_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
+        "ivf_topk": q_ivf_topk,
         "asof_view_before_click": q_asof_view_before_click,
         "url_canonical_dedup": q_url_canonical_dedup,
         "sessionization": q_sessionization,
@@ -1244,13 +1264,18 @@ FROM events GROUP BY 1, 2
 """,
         # plane-matrix-dependent candidates: fixture oracle from the
         # Spark-free naive reimplementation (tools/make_lsh_topk_fixture.py;
-        # staleness- and PRNG-drift-guarded by tests/test_lsh_topk_oracle.py).
-        # ivf_topk deliberately has NO oracle twin: its centroid float sums
-        # reduce in partition order, so exact output is partitioning-
-        # dependent — it keeps recall-bound tests instead.
+        # staleness- and PRNG-drift-guarded by tests/test_lsh_topk_oracle.py)
         "lsh_bucket_topk": r"""
 SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, neighbor_id::BIGINT AS neighbor_id
 FROM read_parquet('/root/repo/fixtures/lsh_topk_sf0.01.parquet')
+""",
+        # k-means-dependent result, fixture-oracle-able since the round-3
+        # fixed-point determinism rewrite (tools/make_ivf_fixture.py;
+        # staleness-guarded by tests/test_ivf_oracle.py, which also asserts
+        # partitioning-independence of the engine output)
+        "ivf_topk": r"""
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, neighbor_id::BIGINT AS neighbor_id
+FROM read_parquet('/root/repo/fixtures/ivf_topk_sf0.01.parquet')
 """,
         # winnow keeps the MIN 64-bit window hash per W-window, so the kept
         # subset is hash-order-dependent: fixture oracle from the Spark-free

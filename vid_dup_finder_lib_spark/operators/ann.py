@@ -174,6 +174,26 @@ def lsh_bucket_topk(
     )
 
 
+# fixed-point scale for centroid accumulation: quantizing each vector to
+# round(v * 2^20) int64 makes the per-cluster sums EXACTLY associative and
+# commutative — identical centroids for ANY partitioning of the input
+# (float partial sums reduce in partition order and differ in the last ulp
+# across cluster sizes, which can flip near-tie assignments; the north rule
+# demands the same cluster assignments at N and 4N executors).  Headroom:
+# |v|·2^20 ≈ 1e7 per element, so int64 holds ~9e11 rows per cluster.
+_KMEANS_SCALE = 1 << 20
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer over uint64 — the frozen contract init hash
+    (public constants; reimplementable without Spark or numpy, unlike
+    Spark's internal xxhash64 byte layout)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int,
@@ -190,19 +210,30 @@ def kmeans_centroids(
     Scale shape: the assignment step is one Arrow-vectorized matmul per
     batch; the update step uses the **combiner pattern** — each partition
     emits per-cluster (sum, count) partials from one mapInPandas pass
-    (k×dim floats per partition, never per-row), and the driver reduces
+    (k×dim values per partition, never per-row), and the driver reduces
     them.  No explode, no shuffle; cost per iteration is one scan.
 
-    Init: the n_centroids vectors with the smallest xxhash64(id) —
-    deterministic and order-independent (a seeded hash sample, not a sort of
-    the full corpus: Spark plans it as a top-k).
+    Determinism contract (round 3): output is identical for ANY
+    partitioning of the input — the partials accumulate fixed-point int64
+    (exactly associative; see _KMEANS_SCALE), the init is a splitmix64
+    hash sample with an id tiebreak, and every per-row step (quantization,
+    assignment argmax) is row-local.  This is what lets ivf_topk ship a
+    committed fixture oracle and return the same answer at N and 4N
+    executors.
     """
     from pyspark.sql import functions as F
 
     base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sd = seed
+
+    @F.pandas_udf("long")
+    def inithash_udf(ids: pd.Series) -> pd.Series:
+        h = _splitmix64(ids.to_numpy(np.int64).view(np.uint64) ^ np.uint64(sd))
+        return pd.Series(h.view(np.int64))
+
     init_rows = (
-        base.select("id", "v", F.xxhash64("id", F.lit(seed)).alias("h"))
-        .orderBy("h")
+        base.select("id", "v", inithash_udf("id").alias("h"))
+        .orderBy("h", "id")
         .limit(n_centroids)
         .collect()
     )
@@ -210,24 +241,25 @@ def kmeans_centroids(
     if len(centroids) < n_centroids:
         raise ValueError(f"corpus smaller than n_centroids={n_centroids}")
 
-    out_schema = "cluster int, cnt long, vsum array<double>"
+    out_schema = "cluster int, cnt long, vsum array<long>"
     for _ in range(n_iter):
         c = centroids  # rebind for closure capture per iteration
 
         def partials(batches):
-            sums = np.zeros((len(c), dim), dtype=np.float64)
+            sums = np.zeros((len(c), dim), dtype=np.int64)
             counts = np.zeros(len(c), dtype=np.int64)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 v = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+                q = np.round(v * _KMEANS_SCALE).astype(np.int64)
                 # cosine assignment == dot with L2-normalized centroids
                 cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
                 vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
                 assign = np.argmax(vn @ cn.T, axis=1)
                 for j in np.unique(assign):
                     sel = assign == j
-                    sums[j] += v[sel].sum(axis=0)
+                    sums[j] += q[sel].sum(axis=0)
                     counts[j] += int(sel.sum())
             pd_out = pd.DataFrame(
                 {
@@ -239,14 +271,24 @@ def kmeans_centroids(
             yield pd_out[pd_out["cnt"] > 0]
 
         rows = base.select("v").mapInPandas(partials, schema=out_schema).collect()
-        sums = np.zeros_like(centroids)
-        counts = np.zeros(len(centroids), dtype=np.int64)
+        # Python-int reduction: arbitrary row order is fine (exact integer
+        # addition), and unbounded precision removes any overflow concern
+        # in the driver-side combine
+        sums = [[0] * dim for _ in range(len(centroids))]
+        counts = [0] * len(centroids)
         for r in rows:
-            sums[r.cluster] += np.asarray(r.vsum)
             counts[r.cluster] += r.cnt
-        nonempty = counts > 0
+            vs = r.vsum
+            row = sums[r.cluster]
+            for i in range(dim):
+                row[i] += vs[i]
         new_centroids = centroids.copy()
-        new_centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        for j in range(len(centroids)):
+            if counts[j] > 0:
+                denom = float(counts[j] * _KMEANS_SCALE)
+                new_centroids[j] = np.asarray(
+                    [s / denom for s in sums[j]], dtype=np.float64
+                )
         if np.allclose(new_centroids, centroids, atol=1e-9):
             centroids = new_centroids
             break
