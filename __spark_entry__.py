@@ -753,6 +753,36 @@ def q_asof_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_click_near_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal: bucketized range join — clicks falling inside ±15 min of
+    the same user's error events (operators/temporal.range_join: equi-join
+    on (key, coarse bucket) + exact residual, no theta-join nested loop,
+    no distinct needed).  Oracle: plain SQL BETWEEN join."""
+    from vid_dup_finder_lib_spark.operators.temporal import range_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("w_end"),
+        )
+    )
+    j = range_join(
+        clicks, errors, on="user_id", left_point="ts",
+        right_start="w_start", right_end="w_end",
+        bucket_width_us=1_800_000_000,
+    )
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("r_event_id").alias("error_id"),
+    )
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal: gap sessionization (12 h inactivity) -> per-session summary.
     lag + running-sum window per user; ties ordered by event_id."""
@@ -967,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_view_before_click": q_asof_view_before_click,
         "url_canonical_dedup": q_url_canonical_dedup,
         "sessionization": q_sessionization,
+        "range_click_near_error": q_range_click_near_error,
         "event_window_rollup": q_event_window_rollup,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
@@ -1235,6 +1266,13 @@ SELECT c.event_id AS click_id, c.user_id::BIGINT AS user_id,
        v.event_id AS view_id, epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+        "range_click_near_error": r"""
+SELECT c.event_id AS click_id, c.user_id::BIGINT AS user_id, e.event_id AS error_id
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click' AND e.event_type = 'error'
+ AND c.ts BETWEEN e.ts - INTERVAL 15 MINUTE AND e.ts + INTERVAL 15 MINUTE
 """,
         "sessionization": r"""
 WITH flag AS (

@@ -137,3 +137,51 @@ def test_epoch_us_ntz_matches_utc(spark):
     df = spark.createDataFrame([(_ts("2024-01-01T00:00:01"),)], "ts: timestamp_ntz")
     val = df.select(epoch_us("ts").alias("us")).collect()[0].us
     assert val == 1_704_067_201_000_000
+
+
+def test_range_join_buckets_and_boundaries(spark):
+    from vid_dup_finder_lib_spark.operators.temporal import range_join
+
+    left = _mk(
+        spark,
+        [
+            (1, 7, _ts("2024-01-01T10:00:00")),  # exactly at interval start
+            (2, 7, _ts("2024-01-01T11:00:00")),  # exactly at interval end
+            (3, 7, _ts("2024-01-01T11:00:01")),  # just past the end
+            (4, 7, _ts("2024-01-01T10:30:00")),  # inside
+            (5, 8, _ts("2024-01-01T10:30:00")),  # other key: no interval
+        ],
+        "lid: long, k: long, ts: timestamp",
+    )
+    right = _mk(
+        spark,
+        [(100, 7, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00"))],
+        "rid: long, k: long, s: timestamp, e: timestamp",
+    )
+    # tiny bucket (1 min) forces the interval across 61 buckets; each
+    # matching pair must still appear EXACTLY once (no distinct in the op)
+    rows = range_join(
+        left, right, on="k", left_point="ts", right_start="s", right_end="e",
+        bucket_width_us=60_000_000,
+    ).collect()
+    got = sorted((r.lid, r.r_rid) for r in rows)
+    assert got == [(1, 100), (2, 100), (4, 100)]
+
+
+def test_range_join_overlapping_intervals(spark):
+    from vid_dup_finder_lib_spark.operators.temporal import range_join
+
+    left = _mk(spark, [(1, 7, _ts("2024-01-01T10:30:00"))], "lid: long, k: long, ts: timestamp")
+    right = _mk(
+        spark,
+        [
+            (100, 7, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00")),
+            (101, 7, _ts("2024-01-01T10:15:00"), _ts("2024-01-01T10:45:00")),
+            (102, 7, _ts("2024-01-01T10:31:00"), _ts("2024-01-01T12:00:00")),
+        ],
+        "rid: long, k: long, s: timestamp, e: timestamp",
+    )
+    rows = range_join(
+        left, right, on="k", left_point="ts", right_start="s", right_end="e"
+    ).collect()
+    assert sorted(r.r_rid for r in rows) == [100, 101]

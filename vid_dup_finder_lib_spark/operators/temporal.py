@@ -107,6 +107,57 @@ def asof_join(
     return carried.select(*out)
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_width_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval join: left rows whose ``left_point`` timestamp falls inside
+    a right row's ``[right_start, right_end]`` (both inclusive), per ``on``
+    key — the range-join custom operator the task brief names.
+
+    Catalyst plans a raw ``l.ts BETWEEN r.start AND r.end`` as a broadcast
+    nested loop (or per-key quadratic sort-merge) — quadratic blow-up on
+    hot keys.  This is the bucketized form: each right interval is exploded
+    to the coarse time buckets it covers, each left point owns exactly ONE
+    bucket, and the join is an equi-join on (key, bucket) + an exact
+    residual filter.  Because a matching pair meets only in the point's own
+    bucket, the output needs NO distinct — replication cost is
+    ceil(interval/bucket_width) rows on the right side only.
+
+    Pick ``bucket_width_us`` near the typical interval length: too small
+    replicates long intervals widely; too big funnels everything into few
+    buckets.  Right columns come back prefixed ``r_``.
+    """
+    lp = epoch_us(F.col(left_point))
+    rs, re = epoch_us(F.col(right_start)), epoch_us(F.col(right_end))
+    w = F.lit(bucket_width_us)
+    lb = left.select(
+        F.col(on).alias("_k"),
+        F.floor(lp / w).alias("_b"),
+        lp.alias("_lp"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    rb = right.select(
+        F.col(on).alias("_k"),
+        F.explode(F.sequence(F.floor(rs / w), F.floor(re / w))).alias("_b"),
+        rs.alias("_rs"),
+        re.alias("_re"),
+        F.struct(*[F.col(c) for c in right.columns if c != on]).alias("_r"),
+    )
+    joined = lb.join(rb, ["_k", "_b"]).where(
+        (F.col("_lp") >= F.col("_rs")) & (F.col("_lp") <= F.col("_re"))
+    )
+    out = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_r.{c}").alias(f"r_{c}") for c in right.columns if c != on
+    ]
+    return joined.select(*out)
+
+
 def sessionize(
     events: DataFrame,
     key: str = "user_id",
