@@ -1,7 +1,9 @@
-"""End-to-end pipeline soak: every round-2 feature load-bearing at once.
+"""End-to-end pipeline soak: every round-2/3 feature load-bearing at once.
 
-One run of run_dedup_pipeline with boilerplate strip (without which the
-planted mega-boilerplate quarantines every LSH bucket and recall collapses),
+One run of run_dedup_pipeline with URL canonicalization (a planted crawl
+revisit under a messy spelling would otherwise join its cluster as an
+extra exact-dup member), boilerplate strip (without which the planted
+mega-boilerplate quarantines every LSH bucket and recall collapses),
 falsepos edge removal, confirmed-match regrouping, recall accounting, and
 checkpoint resume — the full reference CLI surface (SURVEY.md §3.3) in one
 integration pass.
@@ -32,6 +34,24 @@ def test_pipeline_soak_all_features(spark, tmp_path):
         "text", F.concat(F.lit(bp + "\n"), F.col("text"))
     ).localCheckpoint()
 
+    # crawl revisit: cluster[2][0] was ALSO captured a day earlier under a
+    # messy spelling (host case, default port, tracking param, fragment)
+    # with identical text — without canonicalize_urls it survives as an
+    # extra exact-dup member of that cluster and the grouping assertion
+    # fails; with it, the newest capture (the canonical spelling) wins
+    victim = clusters[2][0]
+    host_end = victim.index("/", len("https://"))
+    messy = (
+        "HTTPS://" + victim[len("https://"):host_end].upper() + ":443"
+        + victim[host_end:] + "?utm_source=soak#top"
+    )
+    revisit = (
+        docs.where(F.col("url") == victim)
+        .withColumn("url", F.lit(messy))
+        .withColumn("warc_ts", F.col("warc_ts") - F.expr("INTERVAL 1 DAY"))
+    )
+    docs = docs.unionByName(revisit).localCheckpoint()
+
     cfg = SigConfig(num_perms=128, lsh_bands=64, seed=42, max_bucket_size=8)
     c0, c1 = clusters[0], clusters[1]
     falsepos = spark.createDataFrame([(c1[0], c1[1])], "id1 string, id2 string")
@@ -49,8 +69,13 @@ def test_pipeline_soak_all_features(spark, tmp_path):
         grouping="cc",
         falsepos=falsepos,
         confirmed=confirmed,
+        canonicalize_urls=True,
         strip_boilerplate=True,
     )
+
+    # the messy revisit spelling must have been collapsed away (newest
+    # capture per canonical URL wins; identical text either way)
+    assert res.groups.where(F.col("id") == messy).count() == 0
 
     # grouping: cluster 0 is fully confirmed -> regrouped away; clusters 1-4
     # survive intact (the falsepos edge removal cannot split c1's complete
@@ -80,9 +105,9 @@ def test_pipeline_soak_all_features(spark, tmp_path):
     assert m.recall == 1.0 and m.confirmed_pairs == len(planted)
 
     # lineage metrics exist for every stage, incl. the round-2 strip stage
-    assert {"docs_stripped", "signatures", "edges", "groups", "group_stats"} <= set(
-        res.metrics
-    )
+    assert {
+        "docs_canonical", "docs_stripped", "signatures", "edges", "groups", "group_stats"
+    } <= set(res.metrics)
     assert all("partition_rows" in v for v in res.metrics.values())
 
     # resume: a second invocation skips completed stages and reproduces the
@@ -96,6 +121,7 @@ def test_pipeline_soak_all_features(spark, tmp_path):
         grouping="cc",
         falsepos=falsepos,
         confirmed=confirmed,
+        canonicalize_urls=True,
         strip_boilerplate=True,
     )
     assert res2.groups.count() == res.groups.count()

@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output-unique", help="also write docs with no duplicate (J9)")
     p.add_argument("--force", action="store_true", help="ignore completed stages")
     p.add_argument(
+        "--canonicalize-urls", action="store_true",
+        help="collapse crawl revisits to the newest capture per canonical "
+             "URL before signature work (dedup.latest_snapshot_per_url)",
+    )
+    p.add_argument(
         "--strip-boilerplate", action="store_true",
         help="pre-signature high-df line strip (letterbox-crop analog; the "
         "reference CLI's --cropdetect, default off = Cropdetect::None)",
@@ -78,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
         text_col=args.text_col,
         ts_col=args.ts_col,
         force=args.force,
+        canonicalize_urls=args.canonicalize_urls,
         strip_boilerplate=args.strip_boilerplate,
         boilerplate_min_df=tuple(int(x) for x in args.boilerplate_min_df.split("/")),
         reload_errors=args.reload_errs,

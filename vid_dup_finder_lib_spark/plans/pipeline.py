@@ -50,6 +50,7 @@ def run_dedup_pipeline(
     text_col: str = "text",
     ts_col: str = "warc_ts",
     force: bool = False,
+    canonicalize_urls: bool = False,
     strip_boilerplate: bool = False,
     boilerplate_min_df: tuple[int, int] = (1, 2),
     reload_errors: bool = False,
@@ -59,6 +60,10 @@ def run_dedup_pipeline(
     and config resumes after the last completed stage; with changed config
     the store refuses (fingerprint guard).
 
+    ``canonicalize_urls``: optional first stage — collapse crawl revisits
+    to the newest capture per canonical URL (dedup.latest_snapshot_per_url)
+    before any signature work; survivors carry ``canonical_url`` and
+    ``n_snapshots`` lineage columns through the checkpoint.
     ``strip_boilerplate``: optional pre-signature high-df line strip (the
     letterbox-crop analog; off by default like the reference CLI's
     ``Cropdetect::None``).  ``reload_errors``: retry cached error rows
@@ -75,11 +80,22 @@ def run_dedup_pipeline(
         checkpoint_root,
         cfg,
         extra_fingerprint={
+            "canonicalize_urls": canonicalize_urls,
             "strip_boilerplate": strip_boilerplate,
             "boilerplate_min_df": list(boilerplate_min_df),
         },
     )
     tol = cfg.default_tolerance if tolerance is None else tolerance
+
+    if canonicalize_urls:
+        from vid_dup_finder_lib_spark.operators.dedup import latest_snapshot_per_url
+
+        def _canonical():
+            return latest_snapshot_per_url(docs, url_col=id_col, ts_col=ts_col)
+
+        docs = store.run_stage(
+            spark, "docs_canonical", _canonical, upstream=["docs"], force=force
+        )
 
     if strip_boilerplate:
         from pyspark.sql import functions as F
