@@ -185,3 +185,25 @@ def test_range_join_overlapping_intervals(spark):
         left, right, on="k", left_point="ts", right_start="s", right_end="e"
     ).collect()
     assert sorted(r.r_rid for r in rows) == [100, 101]
+
+
+def test_range_join_explosion_guard_raises(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from vid_dup_finder_lib_spark.operators.temporal import range_join
+
+    import pytest
+
+    left = _mk(spark, [(1, 7, _ts("2024-01-01T10:30:00"))], "lid: long, k: long, ts: timestamp")
+    # a 1-year interval at 1-second buckets: ~31.5M buckets >> the cap
+    right = _mk(
+        spark,
+        [(100, 7, _ts("2024-01-01T00:00:00"), _ts("2025-01-01T00:00:00"))],
+        "rid: long, k: long, s: timestamp, e: timestamp",
+    )
+    with pytest.raises(Exception) as ei:
+        range_join(
+            left, right, on="k", left_point="ts", right_start="s", right_end="e",
+            bucket_width_us=1_000_000,
+        ).count()
+    assert "range_join" in str(ei.value)

@@ -115,6 +115,7 @@ def range_join(
     right_start: str,
     right_end: str,
     bucket_width_us: int = 3_600_000_000,
+    max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
     """Interval join: left rows whose ``left_point`` timestamp falls inside
     a right row's ``[right_start, right_end]`` (both inclusive), per ``on``
@@ -131,11 +132,34 @@ def range_join(
 
     Pick ``bucket_width_us`` near the typical interval length: too small
     replicates long intervals widely; too big funnels everything into few
-    buckets.  Right columns come back prefixed ``r_``.
+    buckets.  An interval that would explode into more than
+    ``max_buckets_per_interval`` bucket rows RAISES (fail-fast valve — the
+    repo rule is no silent blow-ups and no silent drops; fix the bucket
+    width or the data).  Right columns come back prefixed ``r_``.
     """
     lp = epoch_us(F.col(left_point))
     rs, re = epoch_us(F.col(right_start)), epoch_us(F.col(right_end))
     w = F.lit(bucket_width_us)
+    n_buckets = F.floor(re / w) - F.floor(rs / w) + 1
+    # the guard is FOLDED INTO the sequence bound (adds 0 or raises): a
+    # standalone guard column would be dead code Catalyst prunes away
+    guard_zero = F.coalesce(
+        F.when(
+            n_buckets > max_buckets_per_interval,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"range_join: interval spans more than {max_buckets_per_interval} "
+                        f"buckets at bucket_width_us={bucket_width_us} — raise the bucket "
+                        "width or cap the interval (row key: "
+                    ),
+                    F.col(on).cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+    )
     lb = left.select(
         F.col(on).alias("_k"),
         F.floor(lp / w).alias("_b"),
@@ -144,7 +168,7 @@ def range_join(
     )
     rb = right.select(
         F.col(on).alias("_k"),
-        F.explode(F.sequence(F.floor(rs / w), F.floor(re / w))).alias("_b"),
+        F.explode(F.sequence(F.floor(rs / w), F.floor(re / w) + guard_zero)).alias("_b"),
         rs.alias("_rs"),
         re.alias("_re"),
         F.struct(*[F.col(c) for c in right.columns if c != on]).alias("_r"),
