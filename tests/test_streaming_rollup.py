@@ -81,3 +81,56 @@ def test_streaming_rollup_watermark_and_parity(spark, tmp_path):
     }
     for k, v in second.items():
         assert batch[k] == v
+
+
+def test_streaming_sessions_parity_with_batch(spark, tmp_path):
+    """Built-in session_window under a watermark: closed sessions emitted
+    once, and equal to the batch sessionize summary on the same rows."""
+    from vid_dup_finder_lib_spark.operators.temporal import sessionize
+    from vid_dup_finder_lib_spark.streaming.sessions import run_sessions_to_parquet
+
+    src = str(tmp_path / "ev2")
+    tgt = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt2")
+
+    rows = [
+        # user 1: two sessions (10:00-10:20, then 11:30)
+        Row(event_id=1, event_type="a", ts=_ts("2024-01-01T10:00:00"), value=0.0),
+        Row(event_id=2, event_type="a", ts=_ts("2024-01-01T10:20:00"), value=0.0),
+        Row(event_id=3, event_type="a", ts=_ts("2024-01-01T11:30:00"), value=0.0),
+        # a far-future row advances the watermark so everything above closes
+        Row(event_id=9, event_type="z", ts=_ts("2024-01-02T12:00:00"), value=0.0),
+    ]
+    schema2 = "event_id long, event_type string, ts timestamp, value double"
+    # single-user sessions keyed on event_type here to reuse the schema
+    spark.createDataFrame(rows, schema2).coalesce(1).write.parquet(src)
+    run_sessions_to_parquet(
+        spark, src, tgt, ckpt, schema=schema2, key="event_type",
+        gap="30 minutes", watermark_delay="1 hour",
+    ).awaitTermination()
+
+    got = {
+        (r.event_type, r.start_us, r.end_us): r.n_events
+        for r in spark.read.parquet(tgt).collect()
+    }
+
+    batch = sessionize(
+        spark.createDataFrame(rows[:3], schema2).select("event_type", "ts", "event_id"),
+        key="event_type", gap_seconds=1800,
+    )
+    from pyspark.sql import functions as F
+    from vid_dup_finder_lib_spark.operators.temporal import epoch_us as _eus
+    exp = {
+        (r.event_type, r.start_us, r.end_us): r.n_events
+        for r in batch.groupBy("event_type", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(_eus("ts")).alias("start_us"),
+            F.max(_eus("ts")).alias("end_us"),
+        )
+        .collect()
+    }
+    # the far-future 'z' session is still open (not emitted); every closed
+    # session matches the batch summary
+    assert got == exp
+    assert len(got) == 2
