@@ -175,3 +175,41 @@ def test_pipeline_incremental_write_is_o_delta(spark, tmp_path):
     a = {tuple(r) for r in stored.select("id", "content_hash", "cached_ts").collect()}
     b = {tuple(r) for r in fresh.select("id", "content_hash", "cached_ts").collect()}
     assert a == b
+
+
+def test_time_travel_and_restore(spark, tmp_path):
+    """read_previous = the table as of before the last upsert; restore
+    rolls the store back in place (match_db.rs backup analog)."""
+    import pytest
+
+    root = str(tmp_path / "store_tt")
+    store = PartitionedSignatureStore(root, CFG, num_buckets=8)
+
+    # fresh store: no previous generation
+    store.write_full(_table(spark, range(100)))
+    with pytest.raises(ValueError, match="no retained previous"):
+        store.read_previous(spark)
+
+    original = {(r.id, r.payload) for r in store.read(spark).collect()}
+
+    recomputed = _table(spark, [7, 42], val_prefix="NEW")
+    deleted = spark.createDataFrame([(13,)], "id long")
+    store.upsert(recomputed, deleted)
+
+    mutated = {(r.id, r.payload) for r in store.read(spark).collect()}
+    assert mutated != original
+
+    # time travel reads the pre-upsert table without touching the store
+    assert {(r.id, r.payload) for r in store.read_previous(spark).collect()} == original
+    assert {(r.id, r.payload) for r in store.read(spark).collect()} == mutated
+
+    # restore rolls back in place
+    res = store.restore_previous(spark)
+    assert len(res["restored_buckets"]) >= 1
+    assert {(r.id, r.payload) for r in store.read(spark).collect()} == original
+    assert store.manifest()["last_op"] == "restore"
+    assert store.manifest()["row_count"] == 100
+
+    # the retained generation is consumed: a second restore refuses
+    with pytest.raises(ValueError, match="no retained previous"):
+        store.restore_previous(spark)

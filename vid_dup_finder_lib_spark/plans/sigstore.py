@@ -124,6 +124,62 @@ class PartitionedSignatureStore:
             F.col("bucket").isin([int(b) for b in buckets])
         )
 
+    def read_previous(self, spark: SparkSession) -> DataFrame:
+        """Time travel: the table as of BEFORE the last upsert — clean
+        buckets from the current generation, dirty buckets from the
+        retained ``prev/`` generation (match_db.rs timestamped-backup
+        analog, one generation deep).  Raises if there is no retained
+        generation (fresh store or full write)."""
+        m = self.manifest()
+        prev_root = os.path.join(self.root, "prev")
+        if m is None or m.get("last_op") != "upsert" or not os.path.exists(prev_root):
+            raise ValueError(
+                f"signature store at {self.root} has no retained previous "
+                "generation (no upsert has run since the last full write)"
+            )
+        dirty = [int(b) for b in m["last_dirty_buckets"]]
+        clean = spark.read.parquet(self._data_dir()).where(
+            ~F.col("bucket").isin(dirty)
+        ).drop("bucket")
+        prev_dirs = [
+            os.path.join(prev_root, d)
+            for d in os.listdir(prev_root)
+            if d.startswith("bucket=")
+        ]
+        if not prev_dirs:
+            return clean
+        prev = spark.read.parquet(*prev_dirs)
+        if "bucket" in prev.columns:  # partition col not inferred from leaf dirs
+            prev = prev.drop("bucket")
+        return clean.unionByName(prev)
+
+    def restore_previous(self, spark: SparkSession) -> dict:
+        """Roll back the last upsert in place: every dirty bucket's current
+        dir is replaced by its retained ``prev/`` generation (a dirty
+        bucket with no prev dir was CREATED by the upsert and is removed).
+        One generation deep, like read_previous; the manifest records the
+        restore."""
+        m = self.manifest()
+        prev_root = os.path.join(self.root, "prev")
+        if m is None or m.get("last_op") != "upsert" or not os.path.exists(prev_root):
+            raise ValueError(
+                f"signature store at {self.root} has no retained previous "
+                "generation to restore"
+            )
+        t0 = time.time()
+        dirty = [int(b) for b in m["last_dirty_buckets"]]
+        data = self._data_dir()
+        for b in dirty:
+            cur = os.path.join(data, f"bucket={b}")
+            old = os.path.join(prev_root, f"bucket={b}")
+            if os.path.exists(cur):
+                shutil.rmtree(cur)
+            if os.path.exists(old):
+                os.rename(old, cur)
+        shutil.rmtree(prev_root, ignore_errors=True)
+        self._write_manifest(spark, "restore", dirty, t0)
+        return {"restored_buckets": dirty}
+
     # -- write -------------------------------------------------------------
 
     def _write_manifest(self, spark: SparkSession, op: str, dirty: list[int], t0: float) -> None:
