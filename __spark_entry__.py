@@ -846,6 +846,123 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from vid_dup_finder_lib_spark.session import ensure_min_scan_parallelism
+
+    return ensure_min_scan_parallelism(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _dec(col, p=18, s=2):
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational analytics (TPC-H Q1 shape) over the lineitem table:
+    map-side-combinable groupBy, all money math on decimals (double sums
+    are aggregation-order-dependent; see window_rollup).  Shows the engine
+    is a general analytics engine, not only a dedup pipeline."""
+    li = _tpch(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(24,4)"
+    )
+    charge = (
+        _dec("l_extendedprice")
+        * (F.lit(1) - _dec("l_discount"))
+        * (F.lit(1) + _dec("l_tax"))
+    ).cast("decimal(28,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("s_qty"),
+            F.sum(_dec("l_extendedprice")).alias("s_base"),
+            F.sum(disc_price).alias("s_disc"),
+            F.sum(charge).alias("s_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("s_qty").cast("decimal(28,2)").alias("sum_qty"),
+            F.col("s_base").cast("decimal(28,2)").alias("sum_base_price"),
+            F.col("s_disc").cast("decimal(30,4)").alias("sum_disc_price"),
+            F.col("s_charge").cast("decimal(34,6)").alias("sum_charge"),
+            "count_order",
+        )
+    )
+
+
+def q_tpch_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact joins -> top-10 by
+    exact decimal revenue (deterministic tiebreak on orderkey; a double
+    revenue could flip near-ties between engines)."""
+    from vid_dup_finder_lib_spark.operators.temporal import epoch_us
+
+    cust = _tpch(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _tpch(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _tpch(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(24,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("rev"))
+        .select(
+            "o_orderkey",
+            epoch_us("o_orderdate").alias("o_orderdate_us"),
+            "o_orderpriority",
+            F.col("rev").cast("decimal(30,4)").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: region->nation dims broadcast, customer/orders/
+    lineitem/supplier facts shuffled on their keys, local-supplier
+    predicate (s_nationkey = c_nationkey), exact decimal revenue per
+    nation."""
+    region = _tpch(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _tpch(spark, sf_dir, "nation")
+    cust = _tpch(spark, sf_dir, "customer")
+    orders = _tpch(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _tpch(spark, sf_dir, "lineitem")
+    supp = _tpch(spark, sf_dir, "supplier")
+    revenue = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(24,4)"
+    )
+    nations = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        cust.join(nations, cust.c_nationkey == F.col("n_nationkey"))
+        .join(orders, F.col("c_custkey") == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("rev"))
+        .select("n_name", F.col("rev").cast("decimal(30,4)").alias("revenue"))
+    )
+
+
 def q_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data composition: near-dup clusters × quality scoring — keep
     the highest-quality member per cluster (ties broken by min id), the
@@ -996,6 +1113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "asof_view_before_click": q_asof_view_before_click,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_top_orders": q_tpch_top_orders,
+        "tpch_regional_revenue": q_tpch_regional_revenue,
         "sessionization": q_sessionization,
         "range_click_near_error": q_range_click_near_error,
         "event_window_rollup": q_event_window_rollup,
@@ -1194,6 +1314,47 @@ WHERE source LIKE 'src1%' AND source NOT LIKE 'src12%'
         "simhash_pairs": r"""
 SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, simhash_hamming::INT AS simhash_hamming
 FROM read_parquet('/root/repo/fixtures/simhash_pairs_sf0.01.parquet')
+""",
+        # relational analytics over the TPC-H-ish tables (all money math on
+        # decimals: double sums are aggregation-order-dependent and would
+        # not reproduce across engines or even across partitionings)
+        "tpch_pricing_summary": r"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))) AS DECIMAL(30,4)) AS sum_disc_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DECIMAL(34,6)) AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+""",
+        "tpch_top_orders": r"""
+SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))) AS DECIMAL(30,4)) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+        "tpch_regional_revenue": r"""
+SELECT n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))) AS DECIMAL(30,4)) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
 """,
         # URL canonicalization: derivation AND rules reimplemented in SQL
         # (DuckDB regexp/list functions; note regexp_replace needs the 'g'
