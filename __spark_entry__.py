@@ -49,18 +49,23 @@ JACCARD_NUM, JACCARD_DEN = 2, 5  # threshold 0.4, applied as exact integers
 # ---------------------------------------------------------------------------
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Guarded fixture scan: the testdata is single-row-group parquet, so
+    without ensure_min_scan_parallelism every kernel fused onto the scan
+    runs on 1 core (the guard is a no-op at cluster scale).  ALL fixture
+    table reads route through here — a scan added elsewhere silently
+    reverts that table to single-core kernels."""
     from vid_dup_finder_lib_spark.session import ensure_min_scan_parallelism
 
-    # the fixture is one single-row-group file: without the guard every
-    # kernel fused onto this scan runs on 1 core (no-op at cluster scale)
-    return ensure_min_scan_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return ensure_min_scan_parallelism(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scan(spark, sf_dir, "documents")
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vid_dup_finder_lib_spark.session import ensure_min_scan_parallelism
-
-    return ensure_min_scan_parallelism(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return _scan(spark, sf_dir, "embeddings")
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -721,9 +726,7 @@ def q_sampled_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vid_dup_finder_lib_spark.session import ensure_min_scan_parallelism
-
-    return ensure_min_scan_parallelism(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return _scan(spark, sf_dir, "events")
 
 
 def q_asof_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -847,9 +850,7 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tpch(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from vid_dup_finder_lib_spark.session import ensure_min_scan_parallelism
-
-    return ensure_min_scan_parallelism(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    return _scan(spark, sf_dir, name)
 
 
 def _dec(col, p=18, s=2):

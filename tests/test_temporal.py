@@ -207,3 +207,21 @@ def test_range_join_explosion_guard_raises(spark):
             bucket_width_us=1_000_000,
         ).count()
     assert "range_join" in str(ei.value)
+
+
+def test_asof_null_timestamps_never_match(spark):
+    # a null-ts right row must not be carried into matches (Spark asc sort
+    # is NULLS FIRST — it would sort to the partition head); a null-ts left
+    # row keeps null match columns
+    left = _mk(
+        spark,
+        [(1, 7, _ts("2024-01-01T10:00:00")), (2, 7, None)],
+        "lid: long, k: long, ts: timestamp",
+    )
+    right = _mk(
+        spark,
+        [(50, 7, None), (51, 7, _ts("2024-01-01T09:00:00"))],
+        "rid: long, k: long, ts: timestamp",
+    )
+    got = {r.lid: r.r_rid for r in asof_join(left, right, on="k").collect()}
+    assert got == {1: 51, 2: None}

@@ -16,11 +16,9 @@ silently agreeing), NOT imported from the engine.  Bucketing, candidate
 expansion and ranking are naive per-vector loops written against the
 docstring spec, not the engine's batched matmul + DataFrame joins.
 
-Note the companion ``ivf_topk`` deliberately has NO fixture oracle: its
-k-means update reduces float partial sums in partition order, so the exact
-centroids (and near-tie assignments) are partitioning-dependent — a fixture
-would be brittle to legitimate replanning.  It keeps recall-bound tests
-(tests/test_signatures.py::test_ivf_recall) instead.
+The companion ``ivf_topk`` has its own fixture oracle
+(tools/make_ivf_fixture.py) since the round-3 determinism rewrite made its
+k-means partitioning-independent (fixed-point int64 accumulation).
 
 Usage: python tools/make_lsh_topk_fixture.py [sf_dir ...]
 Writes fixtures/lsh_topk_<sfname>.parquet for each input dir.

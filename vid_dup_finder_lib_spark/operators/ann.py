@@ -320,7 +320,12 @@ def ivf_assign(
         v = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
         vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
         sims = vn @ c.T
-        top = np.argsort(-sims, axis=1)[:, :npb].astype(np.int32)
+        # stable sort: exact similarity ties break by ascending centroid
+        # index, matching the fixture oracle's (-sim, index) rule (the
+        # default introsort is unstable and would make ties arbitrary —
+        # identical init vectors yield identical centroids, so exact ties
+        # are reachable, not hypothetical)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :npb].astype(np.int32)
         return pd.Series(list(top))
 
     return corpus.select(

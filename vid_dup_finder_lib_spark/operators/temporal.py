@@ -58,8 +58,17 @@ def asof_join(
     share the matching (key, ts) the one latest in (ts, natural column
     order) wins — pre-dedupe the right side for full determinism, as
     q_asof_view_before_click does.
+
+    Null timestamps: right rows with a null ``right_ts`` can never satisfy
+    ``right_ts <= left_ts`` and are dropped before the join (Spark's
+    ascending sort is NULLS FIRST, so without the filter a null-ts right
+    row would sort to the partition head and be carried into every match —
+    diverging from the ASOF/merge_asof semantics above).  Left rows with a
+    null ``left_ts`` also sort to the head, ahead of every right row, and
+    therefore keep null match columns.
     """
     rcols = [c for c in right.columns if c != on]
+    right = right.where(F.col(right_ts).isNotNull())
     l_tag = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),

@@ -155,10 +155,18 @@ class PartitionedSignatureStore:
 
     def restore_previous(self, spark: SparkSession) -> dict:
         """Roll back the last upsert in place: every dirty bucket's current
-        dir is replaced by its retained ``prev/`` generation (a dirty
-        bucket with no prev dir was CREATED by the upsert and is removed).
-        One generation deep, like read_previous; the manifest records the
-        restore."""
+        dir is replaced by its retained ``prev/`` generation; a dirty
+        bucket recorded in the manifest as CREATED by the upsert is
+        removed.  One generation deep, like read_previous; the manifest
+        records the restore.
+
+        Crash-safe and idempotent: live data is only ever RENAMED into a
+        trash dir (never rmtree'd in place), and each bucket's step is
+        decided from the manifest's created-set plus the on-disk state —
+        a retry after a mid-restore crash skips buckets whose prev/ dir
+        was already swapped in (prev gone + cur present) instead of
+        deleting the restored copy.  Trash is deleted only after the
+        manifest commit."""
         m = self.manifest()
         prev_root = os.path.join(self.root, "prev")
         if m is None or m.get("last_op") != "upsert" or not os.path.exists(prev_root):
@@ -168,21 +176,43 @@ class PartitionedSignatureStore:
             )
         t0 = time.time()
         dirty = [int(b) for b in m["last_dirty_buckets"]]
+        created = {int(b) for b in m.get("last_created_buckets", [])}
         data = self._data_dir()
+        trash = os.path.join(self.root, f".restore-trash-{uuid.uuid4().hex[:8]}")
+        os.makedirs(trash, exist_ok=True)
         for b in dirty:
             cur = os.path.join(data, f"bucket={b}")
             old = os.path.join(prev_root, f"bucket={b}")
-            if os.path.exists(cur):
-                shutil.rmtree(cur)
-            if os.path.exists(old):
+            if b in created:
+                # upsert created it; restore = remove (rename, not delete)
+                if os.path.exists(cur):
+                    os.rename(cur, os.path.join(trash, f"bucket={b}"))
+            elif os.path.exists(old):
+                if os.path.exists(cur):
+                    os.rename(cur, os.path.join(trash, f"bucket={b}"))
                 os.rename(old, cur)
-        shutil.rmtree(prev_root, ignore_errors=True)
+            elif not os.path.exists(cur):
+                raise RuntimeError(
+                    f"restore_previous: bucket={b} missing from BOTH current "
+                    f"and prev generations at {self.root} — store corrupted"
+                )
+            # else: prev gone + cur present -> this bucket was already
+            # restored by an interrupted earlier attempt; nothing to do
         self._write_manifest(spark, "restore", dirty, t0)
+        shutil.rmtree(prev_root, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
         return {"restored_buckets": dirty}
 
     # -- write -------------------------------------------------------------
 
-    def _write_manifest(self, spark: SparkSession, op: str, dirty: list[int], t0: float) -> None:
+    def _write_manifest(
+        self,
+        spark: SparkSession,
+        op: str,
+        dirty: list[int],
+        t0: float,
+        extra: dict | None = None,
+    ) -> None:
         per_bucket = {
             int(r["bucket"]): int(r["cnt"])
             for r in spark.read.parquet(self._data_dir())
@@ -204,6 +234,7 @@ class PartitionedSignatureStore:
             "wall_seconds": round(time.time() - t0, 3),
             "schema": spark.read.parquet(self._data_dir()).schema.simpleString(),
         }
+        manifest.update(extra or {})
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
@@ -287,15 +318,22 @@ class PartitionedSignatureStore:
             shutil.rmtree(prev_root)
         os.makedirs(prev_root, exist_ok=True)
         data = self._data_dir()
+        created = []  # dirty buckets that had NO prior dir (restore removes
+        # them instead of looking for a prev/ generation — the distinction
+        # is recorded in the manifest so a crashed restore can retry safely)
         for b in dirty:
             cur = os.path.join(data, f"bucket={b}")
             new = os.path.join(tmp, f"bucket={b}")
             if os.path.exists(cur):
                 os.rename(cur, os.path.join(prev_root, f"bucket={b}"))
+            else:
+                created.append(int(b))
             if os.path.exists(new):
                 os.rename(new, cur)
             # a dirty bucket with no new dir means every row in it was
             # deleted: the old dir is retired and nothing replaces it
         shutil.rmtree(tmp, ignore_errors=True)
-        self._write_manifest(spark, "upsert", dirty, t0)
+        self._write_manifest(
+            spark, "upsert", dirty, t0, extra={"last_created_buckets": created}
+        )
         return {"dirty_buckets": dirty, "rewritten": len(dirty)}
