@@ -964,6 +964,20 @@ def q_tpch_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hashed_bow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text featurization (hashing trick): sparse (doc_id, bucket, cnt)
+    hashed bag-of-words at dim=32 — the model-free bridge from the text
+    side to the ANN family.  Bucket = md5-prefix int mod dim
+    (cross-engine; Spark xxhash64 is engine-internal)."""
+    from vid_dup_finder_lib_spark.functions.featurize import hashed_bow_exploded
+
+    return hashed_bow_exploded(_docs(spark, sf_dir), dim=32).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("bucket").cast("long").alias("bucket"),
+        "cnt",
+    )
+
+
 def q_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data composition: near-dup clusters × quality scoring — keep
     the highest-quality member per cluster (ties broken by min id), the
@@ -1114,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "asof_view_before_click": q_asof_view_before_click,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "hashed_bow_features": q_hashed_bow_features,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "tpch_top_orders": q_tpch_top_orders,
         "tpch_regional_revenue": q_tpch_regional_revenue,
@@ -1315,6 +1330,15 @@ WHERE source LIKE 'src1%' AND source NOT LIKE 'src12%'
         "simhash_pairs": r"""
 SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, simhash_hamming::INT AS simhash_hamming
 FROM read_parquet('/root/repo/fixtures/simhash_pairs_sf0.01.parquet')
+""",
+        "hashed_bow_features": _SQL_PROLOGUE + r"""
+, tb AS (
+  SELECT doc_id, unnest(toks) AS tok FROM tok
+)
+SELECT doc_id,
+       CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 32 AS BIGINT) AS bucket,
+       COUNT(*) AS cnt
+FROM tb GROUP BY 1, 2
 """,
         # relational analytics over the TPC-H-ish tables (all money math on
         # decimals: double sums are aggregation-order-dependent and would
