@@ -104,3 +104,47 @@ def test_real_decode_is_deterministic():
     dec = RealDecoder()
     p = _wav_bytes(freq=123.0)
     np.testing.assert_array_equal(dec.decode(p), dec.decode(p))
+
+
+def test_image_thumbnails_resize_and_errors(spark):
+    """Real 2-D resize (the P2 crop+resize analog): a left-dark/right-light
+    8x4 image keeps its spatial split in the 4x4 thumbnail; non-PPM and
+    truncated payloads become error VALUES."""
+    from vid_dup_finder_lib_spark.operators.multimodal import image_thumbnails
+
+    w, h = 8, 4
+    rgb = []
+    for _y in range(h):
+        for x in range(w):
+            v = 0 if x < w // 2 else 255
+            rgb += [v, v, v]
+    rows = [
+        (1, "image/x-portable-pixmap", bytearray(_ppm_bytes(w, h, rgb))),
+        (2, "image/png", bytearray(b"\x89PNG\r\n\x1a\n....")),
+        (3, "image/x-portable-pixmap", bytearray(_ppm_bytes(4, 4, [1] * 5))),  # truncated
+    ]
+    media = spark.createDataFrame(rows, "media_id long, mime string, payload binary")
+    got = {r.media_id: r for r in image_thumbnails(media, size=4).collect()}
+
+    ok = got[1]
+    assert ok.error is None and (ok.height, ok.width) == (h, w)
+    thumb = ok.thumb
+    assert len(thumb) == 16
+    for r_ in range(4):
+        assert thumb[r_ * 4 + 0] == 0.0 and thumb[r_ * 4 + 1] == 0.0
+        assert thumb[r_ * 4 + 2] == 1.0 and thumb[r_ * 4 + 3] == 1.0
+
+    assert got[2].error.startswith("UnsupportedFormat:")
+    assert got[2].thumb is None
+    assert got[3].error.startswith("PpmTruncated:")
+
+
+def test_decode_image_roundtrip_deterministic():
+    from vid_dup_finder_lib_spark.operators.multimodal import RealDecoder, _resize_gray
+
+    rgb = [i % 256 for i in range(6 * 5 * 3)]
+    img, h, w = RealDecoder().decode_image(_ppm_bytes(6, 5, rgb))
+    assert (h, w) == (5, 6) and img.shape == (5, 6)
+    a = _resize_gray(img, 3)
+    b = _resize_gray(img, 3)
+    assert (a == b).all() and a.shape == (3, 3)

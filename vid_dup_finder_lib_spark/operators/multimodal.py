@@ -112,7 +112,17 @@ class RealDecoder:
             return self._decode_wav(payload)
         raise ValueError(f"UnsupportedFormat:{payload[:4].hex()}")
 
+    def decode_image(self, payload: bytes) -> tuple[np.ndarray, int, int]:
+        """PPM P6 -> (gray 2-D array in [0,1], height, width) — the raster
+        with its spatial structure intact, for resize-class operations."""
+        gray, h, w = self._parse_ppm_gray(payload)
+        return gray.reshape(h, w), h, w
+
     def _decode_ppm(self, payload: bytes) -> np.ndarray:
+        gray, _h, _w = self._parse_ppm_gray(payload)
+        return _mean_pool(gray, self.feature_dim)[None, :]
+
+    def _parse_ppm_gray(self, payload: bytes) -> tuple[np.ndarray, int, int]:
         pos = 0
 
         def _token() -> bytes:
@@ -147,7 +157,7 @@ class RealDecoder:
         dt = np.uint8 if bytes_per == 1 else np.dtype(">u2")
         px = np.frombuffer(raster, dtype=dt).astype(np.float32).reshape(h * w, 3)
         gray = px.mean(axis=1) / float(maxval)
-        return _mean_pool(gray, self.feature_dim)[None, :]
+        return gray, h, w
 
     def _decode_wav(self, payload: bytes) -> np.ndarray:
         import io
@@ -238,3 +248,57 @@ def frame_sample(features: DataFrame, every: int = 8) -> DataFrame:
     """Every-Nth frame sampling (the reference's sample-every-8th crop pass,
     video_frames_gray.rs:201-210)."""
     return features.where(F.col("frame_idx") % every == 0)
+
+
+def _resize_gray(img: np.ndarray, size: int) -> np.ndarray:
+    """Nearest-index 2D resize to (size, size) — deterministic, pure numpy
+    (the reference resizes every frame to a fixed DCT_SIZE edge before
+    hashing, video_hash_builder.rs frame prep; no codec/scipy needed)."""
+    h, w = img.shape
+    ys = (np.arange(size, dtype=np.int64) * h) // size
+    xs = (np.arange(size, dtype=np.int64) * w) // size
+    return img[ys][:, xs]
+
+
+THUMBNAIL_SCHEMA = (
+    "media_id long, height int, width int, thumb array<float>, error string"
+)
+
+
+def image_thumbnails(media: DataFrame, size: int = 16) -> DataFrame:
+    """PPM payloads -> (size x size) grayscale thumbnails (row-major
+    flattened), the P2 crop+resize analog on REAL media: decode keeps the
+    2-D raster and the resize is a spatial operation, not a mean-pool.
+    Non-PPM / malformed payloads become error VALUES (never dropped).
+
+    mapInPandas with bounded Arrow batches, like extract_frame_features.
+    """
+    dec = RealDecoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "height": [], "width": [], "thumb": [], "error": []
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                h = w = 0
+                thumb = None
+                err = None
+                try:
+                    if payload is None or len(payload) == 0:
+                        err = "EmptyPayload"
+                    elif bytes(payload[:2]) != b"P6":
+                        err = f"UnsupportedFormat:{bytes(payload[:4]).hex()}"
+                    else:
+                        img, h, w = dec.decode_image(bytes(payload))
+                        thumb = _resize_gray(img, size).reshape(-1).astype(np.float32)
+                except ValueError as exc:
+                    err = str(exc)
+                out["media_id"].append(mid)
+                out["height"].append(h)
+                out["width"].append(w)
+                out["thumb"].append(None if thumb is None else thumb.tolist())
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=THUMBNAIL_SCHEMA)
