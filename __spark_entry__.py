@@ -972,7 +972,7 @@ def q_hashed_bow_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vid_dup_finder_lib_spark.functions.featurize import hashed_bow_exploded
 
     return hashed_bow_exploded(_docs(spark, sf_dir), dim=32).select(
-        F.col("id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
         F.col("bucket").cast("long").alias("bucket"),
         "cnt",
     )

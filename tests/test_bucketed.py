@@ -15,14 +15,27 @@ from vid_dup_finder_lib_spark.plans.bucketed import (
 @pytest.fixture()
 def no_broadcast(spark):
     """Force sort-merge/shuffled-hash joins so the Exchange count is the
-    thing under test (broadcast would trivially have no exchange)."""
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    thing under test (broadcast would trivially have no exchange).
+    Restore unsets keys that were unset before — setting a previously-
+    unset key to its fallback would permanently pin it for the shared
+    session (AQE broadcast conversion disabled for every later test)."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, "-1")
     yield
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
 
 
 def test_bucketed_attach_join_is_shuffle_free_on_signatures(
@@ -45,10 +58,8 @@ def test_bucketed_attach_join_is_shuffle_free_on_signatures(
 
         plan = joined._jdf.queryExecution().executedPlan().toString()
         n_exchanges = plan.count("Exchange hashpartitioning")
-        # the two signature scans contribute ZERO exchanges (bucketed
-        # layout); the pair side needs at most its own repartitions
-        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan or n_exchanges <= 2, plan
-        # strong form: signatures appear as bucketed file scans
+        # signatures appear as bucketed file scans (zero exchanges on
+        # their side)
         assert plan.count("Bucketed: true") >= 2, (
             "signature scans did not use the bucketed layout:\n" + plan[:2000]
         )

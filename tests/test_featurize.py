@@ -14,6 +14,7 @@ DOCS = [
     (2, "beta beta delta"),
     (3, ""),          # empty doc: zero vector, no sparse rows
     (4, "alpha"),
+    (5, None),        # null text: zero vector (NOT nulls), no sparse rows
 ]
 
 
@@ -26,13 +27,14 @@ def test_dense_equals_sparse(spark):
     }
     sparse = {}
     for r in hashed_bow_exploded(df, dim=dim).collect():
-        sparse.setdefault(r.id, {})[r.bucket] = r.cnt
+        sparse.setdefault(r.doc_id, {})[r.bucket] = r.cnt
     for doc_id, vec in dense.items():
         assert len(vec) == dim
         exp = sparse.get(doc_id, {})
         for b, c in enumerate(vec):
             assert c == exp.get(b, 0), (doc_id, b)
     assert sum(dense[1]) == 4 and sum(dense[3]) == 0
+    assert dense[5] is not None and all(v == 0 for v in dense[5])
 
 
 def test_l2_normalize_zero_safe(spark):
@@ -47,7 +49,7 @@ def test_l2_normalize_zero_safe(spark):
 
     for doc_id, vec in out.items():
         norm = math.sqrt(sum(v * v for v in vec))
-        if doc_id == 3:
+        if doc_id in (3, 5):
             assert norm == 0.0  # zero vector passes through, never NaN
         else:
             assert abs(norm - 1.0) < 1e-12

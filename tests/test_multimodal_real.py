@@ -119,14 +119,14 @@ def test_image_thumbnails_resize_and_errors(spark):
             v = 0 if x < w // 2 else 255
             rgb += [v, v, v]
     rows = [
-        (1, "image/x-portable-pixmap", bytearray(_ppm_bytes(w, h, rgb))),
-        (2, "image/png", bytearray(b"\x89PNG\r\n\x1a\n....")),
-        (3, "image/x-portable-pixmap", bytearray(_ppm_bytes(4, 4, [1] * 5))),  # truncated
+        ("img-ok", "image/x-portable-pixmap", bytearray(_ppm_bytes(w, h, rgb))),
+        ("img-png", "image/png", bytearray(b"\x89PNG\r\n\x1a\n....")),
+        ("img-trunc", "image/x-portable-pixmap", bytearray(_ppm_bytes(4, 4, [1] * 5))),
     ]
-    media = spark.createDataFrame(rows, "media_id long, mime string, payload binary")
+    media = spark.createDataFrame(rows, "media_id string, mime string, payload binary")
     got = {r.media_id: r for r in image_thumbnails(media, size=4).collect()}
 
-    ok = got[1]
+    ok = got["img-ok"]
     assert ok.error is None and (ok.height, ok.width) == (h, w)
     thumb = ok.thumb
     assert len(thumb) == 16
@@ -134,9 +134,9 @@ def test_image_thumbnails_resize_and_errors(spark):
         assert thumb[r_ * 4 + 0] == 0.0 and thumb[r_ * 4 + 1] == 0.0
         assert thumb[r_ * 4 + 2] == 1.0 and thumb[r_ * 4 + 3] == 1.0
 
-    assert got[2].error.startswith("UnsupportedFormat:")
-    assert got[2].thumb is None
-    assert got[3].error.startswith("PpmTruncated:")
+    assert got["img-png"].error.startswith("UnsupportedFormat:")
+    assert got["img-png"].thumb is None
+    assert got["img-trunc"].error.startswith("PpmTruncated:")
 
 
 def test_decode_image_roundtrip_deterministic():

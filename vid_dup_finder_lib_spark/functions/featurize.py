@@ -39,8 +39,13 @@ def token_bucket(tok: Column, dim: int) -> Column:
 
 def hashed_bow(text: Column, dim: int = 64) -> Column:
     """array<long>[dim]: count of tokens landing in each bucket (the dense
-    hashing-trick vector).  O(tokens × dim) per row — see module notes."""
-    buckets = F.transform(tokens_col(normalize_text(text)), lambda t: token_bucket(t, dim))
+    hashing-trick vector).  O(tokens × dim) per row — see module notes.
+    Null text yields the ZERO vector (not an array of nulls), consistent
+    with the sparse form emitting no rows for a token-less doc."""
+    buckets = F.coalesce(
+        F.transform(tokens_col(normalize_text(text)), lambda t: token_bucket(t, dim)),
+        F.array().cast("array<int>"),
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.size(F.filter(buckets, lambda b: b == i)).cast("long"),
@@ -65,14 +70,15 @@ def hashed_bow_exploded(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, bucket, cnt) sparse form: explode + groupBy — linear work, one
-    shuffle, any dim.  Buckets with zero count are absent (sparse)."""
+    """(<id_col>, bucket, cnt) sparse form: explode + groupBy — linear
+    work, one shuffle, any dim.  Buckets with zero count are absent
+    (sparse); the caller's id column keeps its name."""
     toks = docs.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col),
         F.explode(tokens_col(normalize_text(F.col(text_col)))).alias("tok"),
     )
     return (
-        toks.select("id", token_bucket(F.col("tok"), dim).alias("bucket"))
-        .groupBy("id", "bucket")
+        toks.select(id_col, token_bucket(F.col("tok"), dim).alias("bucket"))
+        .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -112,9 +112,16 @@ class RealDecoder:
             return self._decode_wav(payload)
         raise ValueError(f"UnsupportedFormat:{payload[:4].hex()}")
 
-    def decode_image(self, payload: bytes) -> tuple[np.ndarray, int, int]:
+    def decode_image(self, payload: bytes | None) -> tuple[np.ndarray, int, int]:
         """PPM P6 -> (gray 2-D array in [0,1], height, width) — the raster
-        with its spatial structure intact, for resize-class operations."""
+        with its spatial structure intact, for resize-class operations.
+        Single source of payload sniffing for image consumers: raises
+        ValueError("EmptyPayload") / ("UnsupportedFormat:<hex>") with the
+        same error vocabulary as decode()."""
+        if payload is None or len(payload) == 0:
+            raise ValueError("EmptyPayload")
+        if payload[:2] != b"P6":
+            raise ValueError(f"UnsupportedFormat:{payload[:4].hex()}")
         gray, h, w = self._parse_ppm_gray(payload)
         return gray.reshape(h, w), h, w
 
@@ -261,7 +268,7 @@ def _resize_gray(img: np.ndarray, size: int) -> np.ndarray:
 
 
 THUMBNAIL_SCHEMA = (
-    "media_id long, height int, width int, thumb array<float>, error string"
+    "media_id string, height int, width int, thumb array<float>, error string"
 )
 
 
@@ -285,13 +292,10 @@ def image_thumbnails(media: DataFrame, size: int = 16) -> DataFrame:
                 thumb = None
                 err = None
                 try:
-                    if payload is None or len(payload) == 0:
-                        err = "EmptyPayload"
-                    elif bytes(payload[:2]) != b"P6":
-                        err = f"UnsupportedFormat:{bytes(payload[:4]).hex()}"
-                    else:
-                        img, h, w = dec.decode_image(bytes(payload))
-                        thumb = _resize_gray(img, size).reshape(-1).astype(np.float32)
+                    img, h, w = dec.decode_image(
+                        None if payload is None else bytes(payload)
+                    )
+                    thumb = _resize_gray(img, size).reshape(-1).astype(np.float32)
                 except ValueError as exc:
                     err = str(exc)
                 out["media_id"].append(mid)

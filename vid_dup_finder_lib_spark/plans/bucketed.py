@@ -61,7 +61,10 @@ def attach_bucketed(
     """Join (id1, id2) pairs against a bucketed signatures table twice,
     attaching ``cols`` per side (suffixed 1/2).  The signatures scans join
     WITHOUT an Exchange (bucketed layout == required partitioning); only
-    the pair side shuffles."""
+    the pair side shuffles.  The pair input is pruned to bare (id1, id2)
+    first — the same hardening as verify.attach_signatures: previously-
+    attached columns would collide with the freshly-attached names."""
+    pairs = pairs.select("id1", "id2")
     sigs = spark.table(table)
     s1 = sigs.select(
         F.col(id_col).alias("id1"), *[F.col(c).alias(f"{c}1") for c in cols]
