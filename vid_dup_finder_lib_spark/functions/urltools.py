@@ -41,8 +41,14 @@ def canonical_url(col) -> Column:
     u = F.trim(col if isinstance(col, Column) else F.col(col))
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    # authority = up to the first /, ?, or #
-    authority = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    # authority = up to the first /, ?, or #; the userinfo part (user:pass@)
+    # is CASE-SENSITIVE per RFC 3986 and keeps its case — only the
+    # host[:port] part lowercases
+    authority_raw = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    userinfo = F.regexp_extract(authority_raw, r"^([^/?#]*@)", 1)
+    authority = F.concat(
+        userinfo, F.lower(F.regexp_replace(authority_raw, r"^[^/?#]*@", ""))
+    )
     host = (
         F.when(scheme == "http", F.regexp_replace(authority, r":80$", ""))
         .when(scheme == "https", F.regexp_replace(authority, r":443$", ""))
