@@ -246,3 +246,37 @@ def test_restore_survives_mid_crash_retry(spark, tmp_path):
     # retry completes the restore; the half-restored bucket is NOT deleted
     store.restore_previous(spark)
     assert {(r.id, r.payload) for r in store.read(spark).collect()} == original
+
+
+def test_restore_removes_upsert_created_bucket(spark, tmp_path):
+    """An upsert can CREATE a bucket dir that had no prior generation; the
+    manifest's created-set lets restore remove it (and read_previous
+    exclude it) instead of hunting for a prev/ dir that never existed."""
+    root = str(tmp_path / "store_created")
+    store = PartitionedSignatureStore(root, CFG, num_buckets=64)
+    store.write_full(_table(spark, range(4)))  # most of the 64 buckets absent
+    original = {(r.id, r.payload) for r in store.read(spark).collect()}
+
+    # find an id whose bucket dir does not exist yet
+    import os
+
+    existing = {d for d in os.listdir(os.path.join(root, "data")) if d.startswith("bucket=")}
+    new_id = None
+    for cand in range(1000, 2000):
+        b = spark.createDataFrame([(cand,)], "id long").select(
+            bucket_col("id", 64).alias("b")
+        ).collect()[0]["b"]
+        if f"bucket={b}" not in existing:
+            new_id, new_bucket = cand, b
+            break
+    assert new_id is not None
+
+    store.upsert(_table(spark, [new_id], val_prefix="NEW"), None)
+    assert new_id in {r.id for r in store.read(spark).collect()}
+    assert new_bucket in store.manifest()["last_created_buckets"]
+
+    # time travel excludes the created bucket; restore removes it
+    assert {(r.id, r.payload) for r in store.read_previous(spark).collect()} == original
+    store.restore_previous(spark)
+    assert {(r.id, r.payload) for r in store.read(spark).collect()} == original
+    assert not os.path.exists(os.path.join(root, "data", f"bucket={new_bucket}"))
