@@ -54,9 +54,21 @@ def _scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     without ensure_min_scan_parallelism every kernel fused onto the scan
     runs on 1 core (the guard is a no-op at cluster scale).  ALL fixture
     table reads route through here — a scan added elsewhere silently
-    reverts that table to single-core kernels."""
+    reverts that table to single-core kernels.
+
+    Timestamp semantics are pinned HERE, not assumed of the harness: the
+    fixtures store TZ-less timestamp[us], so a non-UTC session (or a flipped
+    ``inferTimestampNTZ``) shifts every string-literal cast, ``date_trunc``
+    day boundary, and ``unix_micros`` value — exactly the round-3 driver
+    hash-mismatch trio.  Every query routes through this scan, so setting
+    the runtime conf here makes results invariant to harness session state
+    (the three queries additionally avoid TZ-sensitive constructs outright;
+    see q_tpch_pricing_summary / operators/temporal.window_rollup)."""
     from vid_dup_finder_lib_spark.session import ensure_min_scan_parallelism
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # schema stability: always infer TZ-less parquet timestamps the same way
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return ensure_min_scan_parallelism(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
@@ -857,13 +869,29 @@ def _dec(col, p=18, s=2):
     return F.col(col).cast(f"decimal({p},{s})")
 
 
+# Date-literal predicates as integer epoch-microsecond comparisons: a
+# string→timestamp cast (`F.lit('1998-09-02').cast('timestamp')`) is parsed
+# in the SESSION timezone, so a non-UTC harness shifts the boundary and
+# flips midnight-aligned rows in/out of <= filters (the round-3 driver
+# hash-mismatch on tpch_pricing_summary).  unix_micros of an LTZ timestamp
+# is the stored instant — session-TZ-independent.
+def _ts_us(col: str):
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+US_1996_01_01 = 820_454_400_000_000
+US_1997_01_01 = 852_076_800_000_000
+US_1998_01_01 = 883_612_800_000_000
+US_1998_09_02 = 904_694_400_000_000
+
+
 def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational analytics (TPC-H Q1 shape) over the lineitem table:
     map-side-combinable groupBy, all money math on decimals (double sums
     are aggregation-order-dependent; see window_rollup).  Shows the engine
     is a general analytics engine, not only a dedup pipeline."""
     li = _tpch(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        _ts_us("l_shipdate") <= F.lit(US_1998_09_02)
     )
     disc_price = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
         "decimal(24,4)"
@@ -904,10 +932,10 @@ def q_tpch_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     ).select("c_custkey")
     orders = _tpch(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+        _ts_us("o_orderdate") < F.lit(US_1998_01_01)
     )
     li = _tpch(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+        _ts_us("l_shipdate") > F.lit(US_1998_01_01)
     )
     revenue = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
         "decimal(24,4)"
@@ -937,8 +965,8 @@ def q_tpch_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _tpch(spark, sf_dir, "nation")
     cust = _tpch(spark, sf_dir, "customer")
     orders = _tpch(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        (_ts_us("o_orderdate") >= F.lit(US_1996_01_01))
+        & (_ts_us("o_orderdate") < F.lit(US_1997_01_01))
     )
     li = _tpch(spark, sf_dir, "lineitem")
     supp = _tpch(spark, sf_dir, "supplier")
@@ -1351,7 +1379,7 @@ SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DECIMAL(34,6)) AS sum_charge,
   COUNT(*) AS count_order
 FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+WHERE epoch_us(l_shipdate) <= 904694400000000
 GROUP BY 1, 2
 """,
         "tpch_top_orders": r"""
@@ -1361,8 +1389,8 @@ FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-01-01'
-  AND l_shipdate > TIMESTAMP '1998-01-01'
+  AND epoch_us(o_orderdate) < 883612800000000
+  AND epoch_us(l_shipdate) > 883612800000000
 GROUP BY 1, 2, 3
 ORDER BY revenue DESC, o_orderkey
 LIMIT 10
@@ -1377,8 +1405,8 @@ JOIN orders ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
 WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND epoch_us(o_orderdate) >= 820454400000000
+  AND epoch_us(o_orderdate) < 852076800000000
 GROUP BY 1
 """,
         # URL canonicalization: derivation AND rules reimplemented in SQL
@@ -1480,7 +1508,7 @@ SELECT user_id::BIGINT AS user_id, session_idx, COUNT(*) AS n_events,
 FROM sess GROUP BY 1, 2
 """,
         "event_window_rollup": r"""
-SELECT epoch_us(date_trunc('day', ts)) AS window_start_us, event_type,
+SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us, event_type,
        COUNT(*) AS n_events,
        SUM(CAST(value AS DECIMAL(18,2))) AS value_sum,
        MIN(value) AS value_min, MAX(value) AS value_max

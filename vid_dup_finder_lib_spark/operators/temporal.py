@@ -233,14 +233,40 @@ def window_rollup(
     The sum runs on DECIMAL(18,2): float addition is order-dependent under
     Spark's partial aggregation, so a double sum is not reproducible across
     partitionings — decimal is exact, associative, and oracle-comparable.
+    Value contract: ``value_col`` must fit decimal(18,2)'s 16 integer
+    digits — an overflowing row RAISES (Spark's non-ANSI cast would
+    silently null it out of the sum while n_events still counted it, the
+    exact silent-drop class the repo forbids); sub-cent precision is
+    rounded half-up to 2 decimals by design (money-like domain).
     Pure groupBy (map-side combinable); window_start is emitted as epoch
     microseconds (timezone-free for cross-engine comparison).
+
+    Fixed-width units (minute/hour/day) bucket by integer floor over epoch
+    microseconds — session-timezone-independent, unlike ``date_trunc``,
+    whose day boundary is defined in the session TZ and diverged under the
+    round-3 driver harness.  Calendar widths (week/month/year) have no
+    fixed microsecond width and still use ``date_trunc``; run those under
+    an explicitly pinned session TZ.
     """
-    start = F.date_trunc(width, F.col(ts))
-    dec = F.col(value_col).cast("decimal(18,2)")
+    fixed_us = {"minute": 60_000_000, "hour": 3_600_000_000, "day": 86_400_000_000}
+    if width in fixed_us:
+        w_us = F.lit(fixed_us[width])
+        start_us = (F.floor(epoch_us(F.col(ts)) / w_us) * w_us).cast("long")
+    else:
+        start_us = epoch_us(F.date_trunc(width, F.col(ts)))
+    dec_raw = F.col(value_col).cast("decimal(18,2)")
+    dec = F.when(
+        F.col(value_col).isNotNull() & dec_raw.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"window_rollup: {value_col} overflows decimal(18,2): "),
+                F.col(value_col).cast("string"),
+            )
+        ).cast("decimal(18,2)"),
+    ).otherwise(dec_raw)
     return (
         events.groupBy(
-            epoch_us(start).alias("window_start_us"),
+            start_us.alias("window_start_us"),
             *[F.col(c) for c in group_cols],
         )
         .agg(

@@ -42,7 +42,19 @@ def windowed_rollup_stream(
     The input must be a streaming DataFrame (``spark.readStream``); apply
     ``.writeStream.outputMode("append")`` to the result.
     """
-    dec = F.col(value_col).cast("decimal(18,2)")
+    # same (18,2) value contract as the batch rollup: overflow RAISES
+    # instead of silently nulling out of the sum; sub-cent rounds (by
+    # design — money-like domain)
+    dec_raw = F.col(value_col).cast("decimal(18,2)")
+    dec = F.when(
+        F.col(value_col).isNotNull() & dec_raw.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"windowed_rollup_stream: {value_col} overflows decimal(18,2): "),
+                F.col(value_col).cast("string"),
+            )
+        ).cast("decimal(18,2)"),
+    ).otherwise(dec_raw)
     # cast BEFORE the watermark: a cast inside window() would be a new
     # expression the analyzer can't link back to the watermarked column
     events = events.withColumn(ts, F.col(ts).cast("timestamp"))
