@@ -209,6 +209,30 @@ def test_range_join_explosion_guard_raises(spark):
     assert "range_join" in str(ei.value)
 
 
+def test_range_join_inverted_interval_raises(spark):
+    """An inverted interval (end < start, e.g. a zero/sentinel end) must
+    RAISE, not silently explode: sequence(start, stop) with start > stop
+    steps -1, so one bad row would generate a huge descending bucket list
+    the residual filter then discards — hidden cost the valve must catch
+    (round-3 advice: n_buckets <= 0 bypassed the cap guard)."""
+    from vid_dup_finder_lib_spark.operators.temporal import range_join
+
+    import pytest
+
+    left = _mk(spark, [(1, 7, _ts("2024-01-01T10:30:00"))], "lid: long, k: long, ts: timestamp")
+    # sentinel epoch-zero end under a 2024 start: inverted
+    right = _mk(
+        spark,
+        [(100, 7, _ts("2024-01-01T00:00:00"), _ts("1970-01-01T00:00:00"))],
+        "rid: long, k: long, s: timestamp, e: timestamp",
+    )
+    with pytest.raises(Exception) as ei:
+        range_join(
+            left, right, on="k", left_point="ts", right_start="s", right_end="e"
+        ).count()
+    assert "inverted interval" in str(ei.value)
+
+
 def test_asof_null_timestamps_never_match(spark):
     # a null-ts right row must not be carried into matches (Spark asc sort
     # is NULLS FIRST — it would sort to the partition head); a null-ts left

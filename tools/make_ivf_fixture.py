@@ -52,13 +52,24 @@ def _signed(h: int) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+# mirrors operators/ann._SIM_QUANT: similarities quantized to 1e-12 before
+# argmax/argsort so the per-pair np.dot here and the engine's batched BLAS
+# gemm (last-ulp kernel drift) provably agree — change BOTH together
+_SIM_QUANT = 1e12
+
+
+def _qsim(x: float) -> int:
+    # np.round is round-half-even, same as Python's round on floats
+    return round(x * _SIM_QUANT)
+
+
 def _assign(vecs, centroids):
-    """Nearest centroid by cosine per vector; first-max tie rule."""
+    """Nearest centroid by quantized cosine per vector; first-max tie rule."""
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     out = []
     for v in vecs:
         vn = v / max(np.linalg.norm(v), 1e-12)
-        sims = [float(np.dot(vn, c)) for c in cn]
+        sims = [_qsim(float(np.dot(vn, c))) for c in cn]
         best, bi = sims[0], 0
         for i in range(1, len(sims)):
             if sims[i] > best:
@@ -68,11 +79,11 @@ def _assign(vecs, centroids):
 
 
 def _probes(v, centroids, nprobe):
-    """nprobe nearest centroids, stable (ascending index on ties) like
-    np.argsort(-sims)."""
+    """nprobe nearest centroids by quantized cosine, stable (ascending index
+    on ties) like np.argsort(-quantized_sims)."""
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     vn = v / max(np.linalg.norm(v), 1e-12)
-    sims = [float(np.dot(vn, c)) for c in cn]
+    sims = [_qsim(float(np.dot(vn, c))) for c in cn]
     order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))
     return order[:nprobe]
 

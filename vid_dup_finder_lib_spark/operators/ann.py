@@ -183,6 +183,22 @@ def lsh_bucket_topk(
 # |v|·2^20 ≈ 1e7 per element, so int64 holds ~9e11 rows per cluster.
 _KMEANS_SCALE = 1 << 20
 
+# Cosine similarities are quantized to this granularity before any
+# argmax/argsort that feeds the determinism contract: the engine's
+# assignment runs a BLAS gemm whose batch shape varies with partitioning,
+# while the fixture oracle uses per-pair np.dot — different kernels can
+# disagree in the last ulp (~1e-16) and flip near-tie argmax picks.
+# Rounding to 1e-12 collapses kernel drift (orders of magnitude above any
+# ulp difference, orders below meaningful similarity gaps) and makes the
+# parity guarantee structural instead of empirical (round-3 advice).
+# Mirrored by tools/make_ivf_fixture.py — change BOTH or the fixture
+# staleness test fails.
+_SIM_QUANT = 1e12
+
+
+def _quantize_sims(s: np.ndarray) -> np.ndarray:
+    return np.round(s * _SIM_QUANT).astype(np.int64)
+
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """SplitMix64 finalizer over uint64 — the frozen contract init hash
@@ -220,8 +236,24 @@ def kmeans_centroids(
     assignment argmax) is row-local.  This is what lets ivf_topk ship a
     committed fixture oracle and return the same answer at N and 4N
     executors.
+
+    ``id_col`` must be an integral type (byte/short/int/long): the
+    splitmix64 init hashes ids as int64.  Non-integral ids fail HERE on
+    the driver with a clear message, not inside an executor pandas UDF
+    with an opaque numpy conversion error (round-3 advice; the earlier
+    xxhash64-based init accepted any type — hash a canonical int
+    surrogate, e.g. ``xxhash64(id)``, upstream if your ids are strings).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = corpus.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"kmeans_centroids: id_col {id_col!r} must be integral for the "
+            f"splitmix64 init, got {id_type.simpleString()} — derive an int64 "
+            "surrogate (e.g. F.xxhash64(id)) upstream"
+        )
 
     base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     sd = seed
@@ -256,7 +288,9 @@ def kmeans_centroids(
                 # cosine assignment == dot with L2-normalized centroids
                 cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
                 vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-                assign = np.argmax(vn @ cn.T, axis=1)
+                # quantized argmax: first-max tie rule on exact ints —
+                # BLAS-kernel-independent (see _SIM_QUANT)
+                assign = np.argmax(_quantize_sims(vn @ cn.T), axis=1)
                 for j in np.unique(assign):
                     sel = assign == j
                     sums[j] += q[sel].sum(axis=0)
@@ -319,12 +353,12 @@ def ivf_assign(
             return pd.Series([], dtype=object)
         v = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
         vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        sims = vn @ c.T
-        # stable sort: exact similarity ties break by ascending centroid
-        # index, matching the fixture oracle's (-sim, index) rule (the
-        # default introsort is unstable and would make ties arbitrary —
-        # identical init vectors yield identical centroids, so exact ties
-        # are reachable, not hypothetical)
+        # quantized (see _SIM_QUANT) + stable sort: similarity ties break
+        # by ascending centroid index, matching the fixture oracle's
+        # (-sim, index) rule (the default introsort is unstable and would
+        # make ties arbitrary — identical init vectors yield identical
+        # centroids, so exact ties are reachable, not hypothetical)
+        sims = _quantize_sims(vn @ c.T)
         top = np.argsort(-sims, axis=1, kind="stable")[:, :npb].astype(np.int32)
         return pd.Series(list(top))
 

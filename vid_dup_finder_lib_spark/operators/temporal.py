@@ -144,16 +144,36 @@ def range_join(
     buckets.  An interval that would explode into more than
     ``max_buckets_per_interval`` bucket rows RAISES (fail-fast valve — the
     repo rule is no silent blow-ups and no silent drops; fix the bucket
-    width or the data).  Right columns come back prefixed ``r_``.
+    width or the data).  An INVERTED interval (``right_end < right_start``,
+    e.g. a zero/sentinel end under a real start) also RAISES: it can never
+    match, but ``sequence(start, stop)`` with start > stop silently steps
+    -1 and would explode one bad row into a huge DESCENDING bucket list
+    that the residual filter then discards — pure hidden cost, the exact
+    blow-up class the valve exists to stop.  Right columns come back
+    prefixed ``r_``.
     """
     lp = epoch_us(F.col(left_point))
     rs, re = epoch_us(F.col(right_start)), epoch_us(F.col(right_end))
     w = F.lit(bucket_width_us)
     n_buckets = F.floor(re / w) - F.floor(rs / w) + 1
-    # the guard is FOLDED INTO the sequence bound (adds 0 or raises): a
-    # standalone guard column would be dead code Catalyst prunes away
+    # the guards are FOLDED INTO the sequence bound (add 0 or raise): a
+    # standalone guard column would be dead code Catalyst prunes away.
+    # Inverted intervals are checked FIRST — n_buckets <= 0 there, so the
+    # cap comparison alone would never fire (round-3 advice item).
     guard_zero = F.coalesce(
         F.when(
+            re < rs,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"range_join: inverted interval ({right_end} < {right_start}) "
+                        "— filter or repair bad rows upstream (row key: "
+                    ),
+                    F.col(on).cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("long"),
+        ).when(
             n_buckets > max_buckets_per_interval,
             F.raise_error(
                 F.concat(
