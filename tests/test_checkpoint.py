@@ -46,25 +46,42 @@ def test_resume_skips_completed_stage(spark, tmp_path):
 
 
 def test_snapshot_retention_and_restore(spark, tmp_path):
-    """Each overwrite retains the outgoing generation as <stage>.prev
-    (match_db.rs backup analog); restore() swaps it back after a bad run
-    and the store serves the restored table."""
-    import os
-
+    """Each overwrite retires the outgoing generation into
+    .snapshots/<stage>/ — K deep, timestamped names (match_db.rs plural
+    backup analog); restore() walks them newest-first, so a bad run
+    discovered TWO refreshes later is still recoverable."""
     store = CheckpointStore(str(tmp_path / "ckpt4"), CFG)
     store.write("s", spark.range(10))
-    store.write("s", spark.range(25))  # overwrites; gen-1 retained as s.prev
-    assert store.read(spark, "s").count() == 25
-    assert os.path.exists(str(tmp_path / "ckpt4" / "s.prev"))
-    assert "s.prev" not in store.metrics()  # snapshots are not live stages
+    store.write("s", spark.range(25))
+    store.write("s", spark.range(40))
+    assert store.read(spark, "s").count() == 40
+    assert len(store.snapshots("s")) == 2
+    assert all(k == "s" for k in store.metrics())  # snapshots are not live stages
 
     m = store.restore("s")
-    assert m["row_count"] == 10
-    assert store.read(spark, "s").count() == 10
+    assert m["row_count"] == 25
+    assert store.read(spark, "s").count() == 25
     assert store.is_complete("s")
 
+    m = store.restore("s")  # two generations back
+    assert m["row_count"] == 10
+    assert store.read(spark, "s").count() == 10
+
     with pytest.raises(FileNotFoundError):
-        store.restore("s")  # the one retained generation was consumed
+        store.restore("s")  # history exhausted
+
+
+def test_snapshot_gc_keeps_k(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path / "ckpt_gc"), CFG, keep_generations=2)
+    for n in [5, 10, 15, 20, 25]:
+        store.write("s", spark.range(n))
+    assert len(store.snapshots("s")) == 2
+    store.restore("s")
+    assert store.read(spark, "s").count() == 20
+    store.restore("s")
+    assert store.read(spark, "s").count() == 15
+    with pytest.raises(FileNotFoundError):
+        store.restore("s")
 
 
 def test_restore_resumes_pipeline_identically(spark, tmp_path):

@@ -233,12 +233,13 @@ def test_restore_survives_mid_crash_retry(spark, tmp_path):
     dirty = [int(b) for b in m["last_dirty_buckets"]]
     assert len(dirty) >= 2  # need at least two buckets to interrupt between
 
-    # simulate a crash that restored exactly ONE bucket: swap prev back for
-    # the first dirty bucket by hand (what the loop does), leaving manifest
-    # saying 'upsert' and prev/ holding the rest
+    # simulate a crash that restored exactly ONE bucket: swap the retired
+    # copy back for the first dirty bucket by hand (what the loop does),
+    # leaving the ledger saying 'upsert' and the gen dir holding the rest
+    gen_name = m["generations"][-1]["name"]
     b0 = dirty[0]
     cur = os.path.join(root, "data", f"bucket={b0}")
-    old = os.path.join(root, "prev", f"bucket={b0}")
+    old = os.path.join(root, "gens", gen_name, f"bucket={b0}")
     if os.path.exists(old):
         shutil.rmtree(cur)
         os.rename(old, cur)
@@ -280,3 +281,116 @@ def test_restore_removes_upsert_created_bucket(spark, tmp_path):
     store.restore_previous(spark)
     assert {(r.id, r.payload) for r in store.read(spark).collect()} == original
     assert not os.path.exists(os.path.join(root, "data", f"bucket={new_bucket}"))
+
+
+def test_two_generations_travel_and_restore(spark, tmp_path):
+    """VERDICT r3 'done =' criterion: travel back TWO upserts and restore
+    either generation (the reference keeps plural timestamped backups,
+    match_db.rs:358-374)."""
+    root = str(tmp_path / "store_2gen")
+    store = PartitionedSignatureStore(root, CFG, num_buckets=8, keep_generations=3)
+    store.write_full(_table(spark, range(100)))
+    state0 = {(r.id, r.payload) for r in store.read(spark).collect()}
+
+    store.upsert(_table(spark, [7, 42], val_prefix="G1"), None)
+    state1 = {(r.id, r.payload) for r in store.read(spark).collect()}
+    store.upsert(_table(spark, [7, 99], val_prefix="G2"),
+                 spark.createDataFrame([(55,)], "id long"))
+    state2 = {(r.id, r.payload) for r in store.read(spark).collect()}
+    assert len({frozenset(state0), frozenset(state1), frozenset(state2)}) == 3
+
+    # time travel to either depth without touching the store
+    assert {(r.id, r.payload) for r in store.read_as_of(spark, 1).collect()} == state1
+    assert {(r.id, r.payload) for r in store.read_as_of(spark, 2).collect()} == state0
+    assert {(r.id, r.payload) for r in store.read(spark).collect()} == state2
+
+    # restore rolls back one generation at a time
+    store.restore_previous(spark)
+    assert {(r.id, r.payload) for r in store.read(spark).collect()} == state1
+    store.restore_previous(spark)
+    assert {(r.id, r.payload) for r in store.read(spark).collect()} == state0
+    import pytest
+
+    with pytest.raises(ValueError, match="no retained previous"):
+        store.restore_previous(spark)
+
+
+def test_generation_gc_keeps_k(spark, tmp_path):
+    """Retention is bounded: only keep_generations gen dirs survive, the
+    ledger matches the dirs on disk, and travel beyond the horizon refuses."""
+    import pytest
+
+    root = str(tmp_path / "store_gc")
+    store = PartitionedSignatureStore(root, CFG, num_buckets=8, keep_generations=2)
+    store.write_full(_table(spark, range(50)))
+    for i in range(4):
+        store.upsert(_table(spark, [i], val_prefix=f"U{i}"), None)
+    gens = store.manifest()["generations"]
+    assert len(gens) == 2
+    on_disk = {d for d in os.listdir(os.path.join(root, "gens"))}
+    assert on_disk == {g["name"] for g in gens}
+    store.read_as_of(spark, 2)  # within horizon
+    with pytest.raises(ValueError, match="no retained previous"):
+        store.read_as_of(spark, 3)
+
+
+def test_crashed_upsert_rolls_back_cleanly(spark, tmp_path, monkeypatch):
+    """ADVICE r3 (sigstore.py:172): a crash mid-upsert — after retirement
+    started, before the manifest commit — must NOT corrupt the store.  The
+    journal (.pending + _intent.json) lets the next operation roll the
+    partial swap back; the store then reads as the pre-upsert state and the
+    upsert can be retried."""
+    root = str(tmp_path / "store_crashup")
+    store = PartitionedSignatureStore(root, CFG, num_buckets=8)
+    store.write_full(_table(spark, range(100)))
+    original = {(r.id, r.payload) for r in store.read(spark).collect()}
+    ledger_before = store.manifest()["generations"]
+
+    # crash the SECOND rename inside the swap loop (after one bucket's old
+    # dir was retired into .pending): real os.rename for the parquet tmp
+    # writes, then fail partway through the bucket swap
+    real_rename = os.rename
+    state = {"renames_in_data": 0}
+
+    def exploding_rename(src, dst):
+        if "/data/bucket=" in src or "/data/bucket=" in dst:
+            state["renames_in_data"] += 1
+            if state["renames_in_data"] == 2:
+                raise OSError("simulated crash mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", exploding_rename)
+    import pytest
+
+    with pytest.raises(OSError, match="simulated crash"):
+        store.upsert(_table(spark, [7, 42, 63], val_prefix="NEW"),
+                     spark.createDataFrame([(13,)], "id long"))
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # a .pending journal dir was left behind
+    pendings = [d for d in os.listdir(os.path.join(root, "gens")) if d.startswith(".pending")]
+    assert pendings
+
+    # next operation recovers: partial swap rolled back, store unchanged
+    assert {(r.id, r.payload) for r in store.read(spark).collect()} == original
+    assert store.manifest()["generations"] == ledger_before
+    assert not [d for d in os.listdir(os.path.join(root, "gens")) if d.startswith(".pending")]
+
+    # the retried upsert completes normally
+    store.upsert(_table(spark, [7, 42, 63], val_prefix="NEW"),
+                 spark.createDataFrame([(13,)], "id long"))
+    got = {(r.id, r.payload) for r in store.read(spark).collect()}
+    exp = {(i, f"v{i}") for i in range(100) if i not in {7, 42, 63, 13}}
+    exp |= {(i, f"NEW{i}") for i in [7, 42, 63]}
+    assert got == exp
+
+
+def test_crashed_restore_trash_is_swept(spark, tmp_path):
+    """ADVICE r3: crashed restore attempts leaked .restore-trash-* dirs
+    forever; the entry sweep must collect them."""
+    root = str(tmp_path / "store_trash")
+    store = PartitionedSignatureStore(root, CFG, num_buckets=8)
+    store.write_full(_table(spark, range(20)))
+    os.makedirs(os.path.join(root, ".restore-trash-deadbeef", "bucket=3"))
+    store.read(spark)  # any operation sweeps
+    assert not [d for d in os.listdir(root) if d.startswith(".restore-trash")]

@@ -16,10 +16,12 @@ North-rule requirements re-expressed from the reference's cache layer:
 * metrics + lineage — every stage records row count, per-partition row
   counts (via ``spark_partition_id``), wall time and upstream stage names
   into ``_manifest.json`` (A7's stats prints, made durable);
-* snapshot retention — each overwrite keeps the previous stage generation
-  as ``<stage>.prev`` (the reference keeps timestamped DB backups,
-  ``match_db.rs:358-374,432-446``); ``restore(name)`` swaps it back so a
-  bad run is recoverable instead of destroying the only good state;
+* snapshot retention — each overwrite retires the outgoing stage
+  generation into ``.snapshots/<stage>/<generation>/``, K generations deep
+  (``keep_generations``; the reference keeps *timestamped, plural* DB
+  backups, ``match_db.rs:358-374,432-446``); ``restore(name)`` swaps the
+  newest one back — repeatedly, down the retained history — so a bad run
+  discovered several refreshes later is still recoverable;
 * pipeline-level knobs beyond SigConfig (strip_boilerplate, min-df, ...)
   fold into the fingerprint via ``extra_fingerprint`` so toggling them can
   never silently reuse stages computed under different preprocessing.
@@ -40,7 +42,7 @@ from pyspark.sql import functions as F
 from vid_dup_finder_lib_spark.config import SigConfig
 
 _MANIFEST = "_manifest.json"
-_PREV_SUFFIX = ".prev"
+_SNAPSHOTS = ".snapshots"
 
 
 class CheckpointStore:
@@ -49,6 +51,7 @@ class CheckpointStore:
         root: str,
         cfg: SigConfig,
         extra_fingerprint: dict | None = None,
+        keep_generations: int = 3,
     ):
         """``extra_fingerprint``: semantics-affecting knobs that live outside
         SigConfig (e.g. the pipeline's strip_boilerplate/boilerplate_min_df).
@@ -56,11 +59,36 @@ class CheckpointStore:
         is refused under another — without this, re-running with a different
         min-df would silently reuse the stale ``docs_stripped`` table (and
         signatures computed from the other preprocessing), because the
-        refresh diff keys only on ``warc_ts``, which the strip preserves."""
+        refresh diff keys only on ``warc_ts``, which the strip preserves.
+
+        ``keep_generations``: retained snapshot generations per stage
+        (oldest GC'd first).  Retention policy, not a semantics knob — not
+        part of the fingerprint."""
         self.root = root
         self.cfg = cfg
         self.extra_fingerprint = dict(extra_fingerprint or {})
+        self.keep_generations = max(1, int(keep_generations))
         os.makedirs(root, exist_ok=True)
+        self._sweep()
+
+    def _sweep(self) -> None:
+        """Delete crash leftovers: ``.tmp-*`` write dirs (their stage looks
+        incomplete and rebuilds) and ``.trash-*`` restore dirs (they only
+        ever hold the generation being discarded)."""
+        for d in os.listdir(self.root):
+            if d.startswith(".tmp-") or d.startswith(".trash-"):
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
+    def _snap_dir(self, name: str) -> str:
+        return os.path.join(self.root, _SNAPSHOTS, name)
+
+    def snapshots(self, name: str) -> list[str]:
+        """Retained generation names for a stage, oldest → newest (the
+        names embed the retirement timestamp in ms)."""
+        d = self._snap_dir(name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(x for x in os.listdir(d) if x.startswith("gen-"))
 
     def fingerprint(self) -> str:
         base = self.cfg.fingerprint()
@@ -135,32 +163,49 @@ class CheckpointStore:
         with open(os.path.join(tmp, _MANIFEST), "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
 
-        # snapshot retention: the outgoing generation becomes <stage>.prev
-        # instead of being destroyed (match_db.rs keeps timestamped backups;
-        # one retained generation + restore() is the recovery story here)
+        # snapshot retention: the outgoing generation is retired into
+        # .snapshots/<stage>/<generation>/ instead of being destroyed
+        # (match_db.rs keeps timestamped, PLURAL backups) — K generations
+        # deep, oldest GC'd; restore() walks them newest-first
         final = self._stage_dir(name)
-        prev = final + _PREV_SUFFIX
         if os.path.exists(final):
-            if os.path.exists(prev):
-                shutil.rmtree(prev)
-            os.rename(final, prev)
+            snap_dir = self._snap_dir(name)
+            os.makedirs(snap_dir, exist_ok=True)
+            gen = f"gen-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:6]}"
+            os.rename(final, os.path.join(snap_dir, gen))
+            for old in self.snapshots(name)[: -self.keep_generations]:
+                shutil.rmtree(os.path.join(snap_dir, old), ignore_errors=True)
         os.rename(tmp, final)  # atomic on the same filesystem
         return self.read(spark, name)
 
     def restore(self, name: str) -> dict:
-        """Swap the retained previous generation back in (recovery from a
-        bad/corrupt run).  The bad generation is discarded; returns the
-        restored manifest.  Raises FileNotFoundError when no previous
-        generation was retained."""
-        final = self._stage_dir(name)
-        prev = final + _PREV_SUFFIX
-        if not os.path.exists(prev):
+        """Swap the NEWEST retained generation back in (recovery from a
+        bad/corrupt run).  The bad current generation is discarded; the
+        consumed snapshot leaves the history, so calling again restores
+        the next one back — up to ``keep_generations`` deep.  Returns the
+        restored manifest; raises FileNotFoundError when no generation is
+        retained.
+
+        Crash-safe: the discarded current dir is RENAMED into a trash dir
+        (swept on the next store construction), never rmtree'd in place;
+        a retry after a crash between the two renames finds the stage dir
+        absent and simply promotes the snapshot."""
+        self._sweep()
+        snaps = self.snapshots(name)
+        if not snaps:
             raise FileNotFoundError(
-                f"no retained previous generation for stage {name!r} ({prev})"
+                f"no retained previous generation for stage {name!r} "
+                f"({self._snap_dir(name)})"
             )
+        final = self._stage_dir(name)
         if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(prev, final)
+            trash = os.path.join(self.root, f".trash-{uuid.uuid4().hex[:8]}")
+            os.rename(final, trash)
+        else:
+            trash = None
+        os.rename(os.path.join(self._snap_dir(name), snaps[-1]), final)
+        if trash is not None:
+            shutil.rmtree(trash, ignore_errors=True)
         m = self.manifest(name)
         if m is None:
             raise ValueError(f"restored stage {name!r} has no manifest")
@@ -182,8 +227,8 @@ class CheckpointStore:
     def metrics(self) -> dict[str, dict]:
         out = {}
         for name in sorted(os.listdir(self.root)):
-            if name.endswith(_PREV_SUFFIX) or name.startswith(".tmp-"):
-                continue  # retained snapshots / crashed temp dirs are not live stages
+            if name.startswith("."):
+                continue  # .snapshots / crashed .tmp- and .trash- dirs are not live stages
             m = self.manifest(name)
             if m is not None:
                 out[name] = m

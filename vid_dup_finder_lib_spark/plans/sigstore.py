@@ -19,13 +19,31 @@ runtime jar is not in this container; the class isolates that choice):
   (partition pruning on the bucket filter), merges, and rewrites ONLY those
   bucket directories;
 * each bucket swap is temp-write + rename (the same atomicity discipline as
-  the checkpoint store), the outgoing generation of every rewritten bucket
-  is retained under ``prev/`` until the next upsert, and the manifest
-  (fingerprint guard + per-bucket row lineage) is written last.
+  the checkpoint store); the outgoing generation of every rewritten bucket
+  is retained under ``gens/<generation>/`` — K generations deep
+  (``keep_generations``), the analog of the reference's *timestamped,
+  plural* match-DB backups (``match_db.rs:358-374,432-446``) — and the
+  manifest (fingerprint guard + per-bucket row lineage + the generation
+  ledger) is written last;
+* the swap is JOURNALED: retired buckets move into a ``.pending-<gen>``
+  dir carrying an ``_intent.json`` (dirty + created sets) BEFORE any
+  rename touches live data, and the dir is promoted to its final name only
+  after the manifest commits.  A crash mid-upsert therefore leaves a
+  decidable state: intent present + manifest lacks the generation → roll
+  the partial swap BACK; manifest has it → the swap finished, roll
+  FORWARD (promote the dir).  Round 3 retired buckets first and wrote the
+  manifest last with no marker, so a mid-upsert crash left the NEW
+  generation's retired buckets under the OLD manifest's dirty list — a
+  restore would then silently mix generations.
+* every public operation first sweeps crash leftovers (``.restore-trash-*``,
+  ``.tmp-*``, generation dirs no longer in the ledger) and runs the
+  journal recovery above.
 
 Write path cost per refresh: O(|delta| + |dirty buckets| · bucket size) —
 O(corpus) only when the delta touches every bucket, which at 10^12 rows and
 sized ``num_buckets`` means the store rewrites exactly what changed.
+Retention adds NO write cost (retirement is a rename) and bounded space:
+at most ``keep_generations`` × the dirty-bucket footprint of each upsert.
 """
 
 from __future__ import annotations
@@ -42,6 +60,8 @@ from pyspark.sql import functions as F
 from vid_dup_finder_lib_spark.config import SigConfig
 
 _MANIFEST = "_manifest.json"
+_GENS = "gens"
+_INTENT = "_intent.json"
 
 
 def bucket_col(id_col: str, num_buckets: int):
@@ -67,12 +87,19 @@ class PartitionedSignatureStore:
         cfg: SigConfig,
         num_buckets: int = 64,
         extra_fingerprint: dict | None = None,
+        keep_generations: int = 3,
     ):
+        """``keep_generations``: how many upsert generations of retired
+        buckets to retain for time travel / rollback (GC'd oldest-first).
+        Not part of the fingerprint — it is a retention policy, not a
+        semantics knob."""
         self.root = root
         self.cfg = cfg
         self.num_buckets = num_buckets
         self.extra_fingerprint = dict(extra_fingerprint or {})
+        self.keep_generations = max(1, int(keep_generations))
         os.makedirs(root, exist_ok=True)
+        self._sweep_and_recover()
 
     # -- identity ----------------------------------------------------------
 
@@ -115,6 +142,7 @@ class PartitionedSignatureStore:
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Full table scan (bucket column dropped — it is storage-internal)."""
+        self._sweep_and_recover()
         return spark.read.parquet(self._data_dir()).drop("bucket")
 
     def _read_buckets(self, spark: SparkSession, buckets: list[int]) -> DataFrame:
@@ -124,65 +152,174 @@ class PartitionedSignatureStore:
             F.col("bucket").isin([int(b) for b in buckets])
         )
 
-    def read_previous(self, spark: SparkSession) -> DataFrame:
-        """Time travel: the table as of BEFORE the last upsert — clean
-        buckets from the current generation, dirty buckets from the
-        retained ``prev/`` generation (match_db.rs timestamped-backup
-        analog, one generation deep).  Raises if there is no retained
-        generation (fresh store or full write)."""
+    # -- generation ledger + crash recovery --------------------------------
+
+    def _gens_root(self) -> str:
+        return os.path.join(self.root, _GENS)
+
+    def _generations(self) -> list[dict]:
+        """The retained-generation ledger, oldest → newest."""
         m = self.manifest()
-        prev_root = os.path.join(self.root, "prev")
-        if m is None or m.get("last_op") != "upsert" or not os.path.exists(prev_root):
+        return list(m.get("generations", [])) if m else []
+
+    def _sweep_and_recover(self) -> None:
+        """Crash hygiene, run before every store operation (driver-side
+        metadata only — a few listdirs, no data IO):
+
+        * stale ``.restore-trash-*`` / ``.tmp-*`` dirs are deleted — trash
+          only ever holds copies being DISCARDED by the op that made it,
+          never the sole copy of wanted data (round-3 advice: each crashed
+          restore attempt leaked one forever);
+        * a ``.pending-<gen>`` journal dir is resolved: if the manifest's
+          ledger already names the generation, the swap completed before
+          the crash → roll FORWARD (promote the dir); otherwise roll the
+          partial swap BACK from the intent (old copies return to data/,
+          created buckets are removed);
+        * generation dirs absent from the ledger (a GC that crashed after
+          the manifest commit) are deleted.
+        """
+        for d in os.listdir(self.root):
+            if d.startswith(".restore-trash-") or d.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        gens_root = self._gens_root()
+        if not os.path.isdir(gens_root):
+            return
+        known = {g["name"] for g in self._generations()}
+        for d in sorted(os.listdir(gens_root)):
+            p = os.path.join(gens_root, d)
+            if d.startswith(".pending-"):
+                self._recover_pending(p, known)
+            elif d not in known:
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                # crash between promote and intent-strip leaves a stale
+                # intent file inside a committed generation dir
+                stale = os.path.join(p, _INTENT)
+                if os.path.exists(stale):
+                    os.remove(stale)
+
+    def _recover_pending(self, pending: str, known: set[str]) -> None:
+        intent_path = os.path.join(pending, _INTENT)
+        if not os.path.exists(intent_path):
+            # crashed before the intent write: nothing was swapped yet
+            shutil.rmtree(pending, ignore_errors=True)
+            return
+        with open(intent_path) as f:
+            intent = json.load(f)
+        name = intent["name"]
+        if name in known:
+            # manifest committed after the full swap -> roll FORWARD.
+            # Promote FIRST, then strip the intent file: the reverse order
+            # would leave an intent-less .pending dir (indistinguishable
+            # from a crash-before-intent, whose recovery is deletion).
+            final = os.path.join(self._gens_root(), name)
+            os.rename(pending, final)
+            os.remove(os.path.join(final, _INTENT))
+            return
+        # roll BACK the partial swap: every retired copy returns, every
+        # bucket the crashed upsert created or rewrote is discarded (it is
+        # reproducible from the delta; nothing references it)
+        data = self._data_dir()
+        created = {int(b) for b in intent["created"]}
+        for b in (int(x) for x in intent["dirty"]):
+            old = os.path.join(pending, f"bucket={b}")
+            cur = os.path.join(data, f"bucket={b}")
+            if os.path.exists(old):
+                if os.path.exists(cur):
+                    shutil.rmtree(cur)
+                os.rename(old, cur)
+            elif b in created and os.path.exists(cur):
+                shutil.rmtree(cur)
+        shutil.rmtree(pending, ignore_errors=True)
+
+    # -- time travel / rollback --------------------------------------------
+
+    def read_as_of(self, spark: SparkSession, gens_back: int = 1) -> DataFrame:
+        """Time travel: the table as of BEFORE the last ``gens_back``
+        upserts — clean buckets from the current generation, undone buckets
+        overlaid from the retained generation dirs (match_db.rs
+        timestamped-backup analog, ``keep_generations`` deep).  Raises if
+        fewer generations are retained than requested.
+
+        Overlay rule: walking the undone generations oldest-first, the
+        FIRST generation that touched a bucket supplies its as-of content
+        (that copy is the bucket's state just before the oldest undone
+        upsert); a bucket first CREATED inside the undone range is absent.
+        """
+        self._sweep_and_recover()
+        gens = self._generations()
+        if gens_back < 1 or gens_back > len(gens):
             raise ValueError(
                 f"signature store at {self.root} has no retained previous "
-                "generation (no upsert has run since the last full write)"
+                f"generation at depth {gens_back} (retained: {len(gens)}; "
+                "generations are kept per-upsert, keep_generations deep)"
             )
-        dirty = [int(b) for b in m["last_dirty_buckets"]]
-        clean = spark.read.parquet(self._data_dir()).where(
-            ~F.col("bucket").isin(dirty)
-        ).drop("bucket")
-        prev_dirs = [
-            os.path.join(prev_root, d)
-            for d in os.listdir(prev_root)
-            if d.startswith("bucket=")
-        ]
-        if not prev_dirs:
+        overlay: dict[int, str | None] = {}
+        for g in gens[len(gens) - gens_back :]:  # oldest undone first
+            created = {int(b) for b in g.get("created_buckets", [])}
+            for b in (int(x) for x in g["dirty_buckets"]):
+                if b in overlay:
+                    continue  # an older undone generation already owns it
+                overlay[b] = (
+                    None
+                    if b in created
+                    else os.path.join(self._gens_root(), g["name"], f"bucket={b}")
+                )
+        clean = (
+            spark.read.parquet(self._data_dir())
+            .where(~F.col("bucket").isin(list(overlay)))
+            .drop("bucket")
+        )
+        paths = [p for p in overlay.values() if p is not None]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:  # a non-created dirty bucket ALWAYS has a retired copy
+            raise RuntimeError(
+                f"signature store at {self.root}: ledger references retired "
+                f"bucket dirs that do not exist ({missing[:3]}…) — store corrupted"
+            )
+        if not paths:
             return clean
-        prev = spark.read.parquet(*prev_dirs)
+        prev = spark.read.parquet(*paths)
         if "bucket" in prev.columns:  # partition col not inferred from leaf dirs
             prev = prev.drop("bucket")
         return clean.unionByName(prev)
 
+    def read_previous(self, spark: SparkSession) -> DataFrame:
+        """The table as of before the last upsert (= ``read_as_of(1)``)."""
+        return self.read_as_of(spark, gens_back=1)
+
     def restore_previous(self, spark: SparkSession) -> dict:
-        """Roll back the last upsert in place: every dirty bucket's current
-        dir is replaced by its retained ``prev/`` generation; a dirty
-        bucket recorded in the manifest as CREATED by the upsert is
-        removed.  One generation deep, like read_previous; the manifest
-        records the restore.
+        """Roll back the NEWEST retained upsert in place: every bucket it
+        dirtied is replaced by its retired copy; a bucket it CREATED is
+        removed.  Pops that generation from the ledger — calling again
+        rolls back the next one, down to ``keep_generations`` deep.
 
         Crash-safe and idempotent: live data is only ever RENAMED into a
         trash dir (never rmtree'd in place), and each bucket's step is
-        decided from the manifest's created-set plus the on-disk state —
-        a retry after a mid-restore crash skips buckets whose prev/ dir
-        was already swapped in (prev gone + cur present) instead of
-        deleting the restored copy.  Trash is deleted only after the
-        manifest commit."""
-        m = self.manifest()
-        prev_root = os.path.join(self.root, "prev")
-        if m is None or m.get("last_op") != "upsert" or not os.path.exists(prev_root):
+        decided from the ledger's created-set plus the on-disk state — a
+        retry after a mid-restore crash skips buckets whose retired copy
+        was already swapped in (gen copy gone + cur present) instead of
+        deleting the restored data.  Trash is deleted only after the
+        manifest commit (and a crashed attempt's trash is swept on the
+        next operation)."""
+        self._sweep_and_recover()
+        gens = self._generations()
+        if not gens:
             raise ValueError(
                 f"signature store at {self.root} has no retained previous "
                 "generation to restore"
             )
         t0 = time.time()
-        dirty = [int(b) for b in m["last_dirty_buckets"]]
-        created = {int(b) for b in m.get("last_created_buckets", [])}
+        g = gens[-1]
+        dirty = [int(b) for b in g["dirty_buckets"]]
+        created = {int(b) for b in g.get("created_buckets", [])}
+        gen_dir = os.path.join(self._gens_root(), g["name"])
         data = self._data_dir()
         trash = os.path.join(self.root, f".restore-trash-{uuid.uuid4().hex[:8]}")
         os.makedirs(trash, exist_ok=True)
         for b in dirty:
             cur = os.path.join(data, f"bucket={b}")
-            old = os.path.join(prev_root, f"bucket={b}")
+            old = os.path.join(gen_dir, f"bucket={b}")
             if b in created:
                 # upsert created it; restore = remove (rename, not delete)
                 if os.path.exists(cur):
@@ -194,12 +331,18 @@ class PartitionedSignatureStore:
             elif not os.path.exists(cur):
                 raise RuntimeError(
                     f"restore_previous: bucket={b} missing from BOTH current "
-                    f"and prev generations at {self.root} — store corrupted"
+                    f"and retained generations at {self.root} — store corrupted"
                 )
-            # else: prev gone + cur present -> this bucket was already
-            # restored by an interrupted earlier attempt; nothing to do
-        self._write_manifest(spark, "restore", dirty, t0)
-        shutil.rmtree(prev_root, ignore_errors=True)
+            # else: gen copy gone + cur present -> already restored by an
+            # interrupted earlier attempt; nothing to do
+        self._write_manifest(
+            spark,
+            "restore",
+            dirty,
+            t0,
+            extra={"generations": gens[:-1], "last_created_buckets": []},
+        )
+        shutil.rmtree(gen_dir, ignore_errors=True)
         shutil.rmtree(trash, ignore_errors=True)
         return {"restored_buckets": dirty}
 
@@ -227,6 +370,8 @@ class PartitionedSignatureStore:
             "num_buckets": self.num_buckets,
             "last_op": op,
             "last_dirty_buckets": sorted(int(b) for b in dirty),
+            # ledger preserved unless the caller supplies a new one
+            "generations": self._generations(),
             "row_count": sum(per_bucket.values()),
             "partition_rows": per_bucket,
             "num_partitions": len(per_bucket),
@@ -242,8 +387,11 @@ class PartitionedSignatureStore:
 
     def write_full(self, df: DataFrame, id_col: str = "id") -> None:
         """Initial (or forced) full write: every bucket directory is laid
-        down in one partitioned write, then swapped in atomically."""
+        down in one partitioned write, then swapped in atomically.  The
+        generation ledger is CLEARED — retained generations describe
+        bucket-level diffs against a lineage this rewrite discards."""
         t0 = time.time()
+        self._sweep_and_recover()
         spark = df.sparkSession
         tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex[:8]}")
         (
@@ -260,7 +408,15 @@ class PartitionedSignatureStore:
         if os.path.exists(data):
             shutil.rmtree(data)
         os.rename(tmp, data)
-        self._write_manifest(spark, "full", list(range(self.num_buckets)), t0)
+        # manifest first, THEN the gens sweep: the reverse order would leave
+        # a crash window where the ledger references deleted dirs (and
+        # read_as_of would silently skip them); unreferenced dirs are merely
+        # garbage the next _sweep_and_recover collects
+        self._write_manifest(
+            spark, "full", list(range(self.num_buckets)), t0,
+            extra={"generations": []},
+        )
+        shutil.rmtree(self._gens_root(), ignore_errors=True)
 
     def upsert(
         self,
@@ -277,6 +433,7 @@ class PartitionedSignatureStore:
         """
         spark = recomputed.sparkSession
         t0 = time.time()
+        self._sweep_and_recover()
         # the delta is consumed three times below (dirty-set collect, the
         # anti-join, the merged union); if it has an Arrow-UDF stage
         # upstream (it does: the signature kernel) each consumer would
@@ -312,28 +469,64 @@ class PartitionedSignatureStore:
             .parquet(tmp)
         )
 
-        # per-bucket atomic swap; outgoing generations retained under prev/
-        prev_root = os.path.join(self.root, "prev")
-        if os.path.exists(prev_root):
-            shutil.rmtree(prev_root)
-        os.makedirs(prev_root, exist_ok=True)
+        # per-bucket atomic swap, JOURNALED: the intent (dirty + created
+        # sets) is durably recorded in the .pending dir BEFORE any rename
+        # touches live data, so a crash at any point leaves a decidable
+        # state for _sweep_and_recover (see module docstring).  Outgoing
+        # bucket generations are retained under gens/<generation>/,
+        # keep_generations deep.
+        gens_root = self._gens_root()
+        os.makedirs(gens_root, exist_ok=True)
+        gen_name = f"gen-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:6]}"
+        pending = os.path.join(gens_root, f".pending-{gen_name}")
+        os.makedirs(pending)
         data = self._data_dir()
-        created = []  # dirty buckets that had NO prior dir (restore removes
-        # them instead of looking for a prev/ generation — the distinction
-        # is recorded in the manifest so a crashed restore can retry safely)
+        created = [  # dirty buckets with NO prior dir: restore removes them
+            int(b)
+            for b in dirty
+            if not os.path.exists(os.path.join(data, f"bucket={b}"))
+        ]
+        with open(os.path.join(pending, _INTENT), "w") as f:
+            json.dump({"name": gen_name, "dirty": dirty, "created": created}, f)
         for b in dirty:
             cur = os.path.join(data, f"bucket={b}")
             new = os.path.join(tmp, f"bucket={b}")
             if os.path.exists(cur):
-                os.rename(cur, os.path.join(prev_root, f"bucket={b}"))
-            else:
-                created.append(int(b))
+                os.rename(cur, os.path.join(pending, f"bucket={b}"))
             if os.path.exists(new):
                 os.rename(new, cur)
             # a dirty bucket with no new dir means every row in it was
             # deleted: the old dir is retired and nothing replaces it
         shutil.rmtree(tmp, ignore_errors=True)
-        self._write_manifest(
-            spark, "upsert", dirty, t0, extra={"last_created_buckets": created}
+
+        gens = self._generations()
+        gens.append(
+            {
+                "name": gen_name,
+                "op": "upsert",
+                "ts": round(t0, 3),
+                "dirty_buckets": [int(b) for b in dirty],
+                "created_buckets": created,
+            }
         )
-        return {"dirty_buckets": dirty, "rewritten": len(dirty)}
+        pruned = gens[: -self.keep_generations] if len(gens) > self.keep_generations else []
+        gens = gens[-self.keep_generations :]
+        # commit order: manifest (with the new ledger) -> promote the
+        # pending dir -> GC pruned dirs.  A crash after the manifest commit
+        # rolls FORWARD (the ledger names the generation); before it, BACK.
+        self._write_manifest(
+            spark,
+            "upsert",
+            dirty,
+            t0,
+            extra={"last_created_buckets": created, "generations": gens},
+        )
+        # promote FIRST, then strip the intent file (see _recover_pending:
+        # an intent-less .pending dir must only ever mean "crash before the
+        # intent write", whose recovery is deletion)
+        final_gen = os.path.join(gens_root, gen_name)
+        os.rename(pending, final_gen)
+        os.remove(os.path.join(final_gen, _INTENT))
+        for g in pruned:
+            shutil.rmtree(os.path.join(gens_root, g["name"]), ignore_errors=True)
+        return {"dirty_buckets": dirty, "rewritten": len(dirty), "generation": gen_name}
