@@ -610,15 +610,18 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: hyperplane-LSH bucketed top-5 (sign-pattern buckets,
-    8 tables x 12 planes, exact cosine on candidates).  Rank output only —
-    float-free like ann_topk.  Plane-matrix-dependent, so the oracle is a
-    committed fixture from a Spark-free naive reimplementation
+    8 tables x 12 planes, 2 probes — each query also checks the Hamming-1
+    bucket of its lowest-margin plane — exact cosine on candidates).  Rank
+    output only — float-free like ann_topk.  Plane-matrix-dependent, so the
+    oracle is a committed fixture from a Spark-free naive reimplementation
     (tools/make_lsh_topk_fixture.py; staleness- and drift-guarded by
     tests/test_lsh_topk_oracle.py)."""
     from vid_dup_finder_lib_spark.operators.ann import lsh_bucket_topk
 
     emb = _embeddings(spark, sf_dir)
-    return lsh_bucket_topk(emb, k=5, dim=64, n_tables=8, n_planes=12, seed=42).select(
+    return lsh_bucket_topk(
+        emb, k=5, dim=64, n_tables=8, n_planes=12, seed=42, n_probes=2
+    ).select(
         F.col("query_id").cast("long"),
         F.col("rank").cast("long"),
         F.col("neighbor_id").cast("long"),

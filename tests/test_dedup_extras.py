@@ -95,6 +95,43 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert hits / len(exact) >= 0.9  # ANN recall@1
 
 
+def test_ann_lsh_multiprobe_recall_lift(spark):
+    """Multi-probe (round-3 verdict item 7): probing the Hamming-1 buckets
+    of the lowest-margin planes lifts recall@1 past 0.95 at a table count
+    where single-probe sits well under 0.9 — same shuffle shape, query-side
+    rows only.  Config chosen so the gap is wide on both sides (measured:
+    1 probe 0.725, 3 probes 0.965)."""
+    from vid_dup_finder_lib_spark.operators.ann import brute_force_topk, lsh_bucket_topk
+
+    rng = np.random.default_rng(52)
+    dim, n = 32, 200
+    centers = rng.standard_normal((20, dim))
+    vecs = centers[np.arange(n) % 20] + 0.35 * rng.standard_normal((n, dim))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).localCheckpoint()
+
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_topk(df, df, k=1).collect()
+    }
+
+    def recall(n_probes):
+        ap = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in lsh_bucket_topk(
+                df, k=1, dim=dim, n_tables=4, n_planes=10, seed=1, n_probes=n_probes
+            ).collect()
+        }
+        return sum(1 for k, v in exact.items() if ap.get(k) == v) / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r1 < 0.9  # single-probe genuinely weak at this table count
+    assert r3 >= 0.95
+    assert r3 > r1
+
+
 def test_ann_ivf_recall_vs_bruteforce(spark):
     """IVF tier (k-means buckets + nprobe search) matches brute force on
     clustered vectors; k-means is deterministic (same seed -> same result)."""

