@@ -830,6 +830,83 @@ def q_event_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streamed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming made oracle-visible (round-3 verdict item 6):
+    the Spark side RUNS the watermarked streaming rollup (availableNow
+    trigger, append mode, parquet sink) over the events table and returns
+    the emitted windows; the oracle reproduces the emission rule in SQL —
+    a window is emitted iff its end is at or before the final watermark
+    (max event time − delay).  Everything else (integer day/hour
+    bucketing, decimal sums) matches the batch rollup contract."""
+    import os
+    import tempfile
+
+    from vid_dup_finder_lib_spark.streaming.rollup import run_rollup_to_parquet
+
+    work = tempfile.mkdtemp(prefix="streamed_rollup_")
+    _scan(spark, sf_dir, "events")  # pins session TZ/NTZ conf like every query
+    # the file streaming source requires a DIRECTORY; the fixture is a bare
+    # file — link it into one (read-only source stays untouched)
+    os.makedirs(f"{work}/src")
+    os.symlink(f"{sf_dir}/events.parquet", f"{work}/src/events.parquet")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    run_rollup_to_parquet(
+        spark,
+        f"{work}/src",
+        f"{work}/out",
+        f"{work}/ckpt",
+        schema=schema,
+        width="1 hour",
+        watermark_delay="2 hours",
+        group_cols=("event_type",),
+    ).awaitTermination()
+    return spark.read.parquet(f"{work}/out").select(
+        "window_start_us", "event_type", "n_events", "value_sum",
+        "value_min", "value_max",
+    )
+
+
+def q_streamed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization made oracle-visible (round-3 verdict item
+    6): runs the built-in ``session_window`` job (watermark 2 h, gap 30
+    min, availableNow, append) over the events table and returns the
+    CLOSED sessions; the oracle reproduces both the gap rule — note
+    ``session_window`` starts a new session at diff >= gap, while the
+    batch ``sessionize`` uses > gap; the oracle mirrors the STREAMING
+    rule — and the emission rule (session end + gap at or before the
+    final watermark)."""
+    import os
+    import tempfile
+
+    from vid_dup_finder_lib_spark.streaming.sessions import run_sessions_to_parquet
+
+    work = tempfile.mkdtemp(prefix="streamed_sessions_")
+    _scan(spark, sf_dir, "events")  # pins session TZ/NTZ conf like every query
+    os.makedirs(f"{work}/src")
+    os.symlink(f"{sf_dir}/events.parquet", f"{work}/src/events.parquet")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    run_sessions_to_parquet(
+        spark,
+        f"{work}/src",
+        f"{work}/out",
+        f"{work}/ckpt",
+        schema=schema,
+        key="user_id",
+        gap="30 minutes",
+        watermark_delay="2 hours",
+    ).awaitTermination()
+    return spark.read.parquet(f"{work}/out").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "start_us", "end_us", "n_events",
+    )
+
+
 def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-crawl preprocessing: URL canonicalization + revisit collapse.
     Messy URL spellings (case, default ports, slash runs, fragments,
@@ -1166,6 +1243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "range_click_near_error": q_range_click_near_error,
         "event_window_rollup": q_event_window_rollup,
+        "streamed_event_rollup": q_streamed_event_rollup,
+        "streamed_sessions": q_streamed_sessions,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
         "substring_winnowed_pairs": q_substring_winnowed_pairs,
@@ -1516,6 +1595,47 @@ SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us, event_typ
        SUM(CAST(value AS DECIMAL(18,2))) AS value_sum,
        MIN(value) AS value_min, MAX(value) AS value_max
 FROM events GROUP BY 1, 2
+""",
+        # the STREAMING rollup's emission rule in SQL: hourly windows whose
+        # end is at or before the final watermark (max event time - 2 h)
+        "streamed_event_rollup": r"""
+WITH wm AS (SELECT max(epoch_us(ts)) - 7200000000 AS w FROM events),
+r AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, event_type,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS value_sum,
+         MIN(value) AS value_min, MAX(value) AS value_max
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start_us, event_type, n_events, value_sum, value_min, value_max
+FROM r, wm WHERE window_start_us + 3600000000 <= w
+""",
+        # the STREAMING session_window's rules in SQL: new session at
+        # diff >= gap (stricter than batch sessionize's > gap), emitted
+        # when session end + gap is at or before the final watermark
+        "streamed_sessions": r"""
+WITH wm AS (SELECT max(epoch_us(ts)) - 7200000000 AS w FROM events),
+flag AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER win IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER win) >= 1800000000
+         THEN 1 ELSE 0 END AS nf
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+    SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flag
+),
+summ AS (
+  SELECT user_id::BIGINT AS user_id, session_idx, COUNT(*) AS n_events,
+         MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, start_us, end_us, n_events
+FROM summ, wm WHERE end_us + 1800000000 <= w
 """,
         # plane-matrix-dependent candidates: fixture oracle from the
         # Spark-free naive reimplementation (tools/make_lsh_topk_fixture.py;

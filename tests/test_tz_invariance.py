@@ -30,12 +30,16 @@ from tools.check_oracle import TABLES, value_hash
 SF_DIR = "/root/testdata/sf0.001"
 
 # the round-3 driver trio + the two passing-but-literal-cast tpch queries
+# + the round-4 streaming-output queries (window()/session_window() are
+# epoch-anchored for plain durations, but prove it rather than assume it)
 QUERIES = [
     "tpch_pricing_summary",
     "sessionization",
     "event_window_rollup",
     "tpch_top_orders",
     "tpch_regional_revenue",
+    "streamed_event_rollup",
+    "streamed_sessions",
 ]
 
 # Kolkata is +05:30 — catches half-hour shifts a whole-hour zone would mask
