@@ -103,8 +103,9 @@ def main() -> None:
     min_timings = {k: round(min(tt[k] for tt in all_timings), 3) for k in names}
     med_timings = {k: round(median(tt[k] for tt in all_timings), 3) for k in names}
 
-    # round-3 operator families, timed OUTSIDE the headline total so
-    # "value" stays comparable across rounds (min of 2 back-to-back runs)
+    # round-3/4 operator families, timed OUTSIDE the legacy headline total
+    # so "value" stays comparable across rounds (min of 2 back-to-back
+    # runs); they graduate into the round-4 "value_v2" total below
     extra_names = [
         "url_canonical_dedup",
         "asof_view_before_click",
@@ -112,6 +113,9 @@ def main() -> None:
         "sessionization",
         "event_window_rollup",
         "lsh_bucket_topk",
+        "ivf_topk",
+        "streamed_event_rollup",
+        "streamed_sessions",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}
@@ -129,6 +133,9 @@ def main() -> None:
         "metric": "dedup_bench_total",
         "value": best_total,
         "value_median": round(median(totals), 3),
+        # round-4 headline: legacy total + the graduated operator families
+        # ("value" alone stays the cross-round continuity number)
+        "value_v2": round(best_total + sum(extras.values()), 3),
         "unit": "sec",
         "queries": min_timings,
         "queries_median": med_timings,

@@ -69,7 +69,7 @@ BALLAST_HIGH = int(os.environ.get("SCALE_BALLAST_HIGH", "0"))
 PART = int(os.environ.get("SCALE_PART", str(4 * N * 2)))
 ADVISORY_MB = int(os.environ.get("SCALE_ADVISORY_MB", "64"))
 
-PHASES = ["signatures", "candidates", "verify", "cc"]
+PHASES = ["signatures", "candidates", "verify", "cc", "temporal", "ann"]
 
 CHILD = r"""
 import json, os, shutil, sys, time, urllib.request
@@ -83,6 +83,8 @@ from vid_dup_finder_lib_spark.operators.signatures import build_signatures
 from vid_dup_finder_lib_spark.operators.lsh import candidate_pairs
 from vid_dup_finder_lib_spark.operators.verify import verified_edges
 from vid_dup_finder_lib_spark.operators.components import connected_components
+from vid_dup_finder_lib_spark.operators.temporal import sessionize, window_rollup
+from vid_dup_finder_lib_spark.operators.ann import lsh_bucket_topk
 
 os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
 local_dir = f"/dev/shm/spark-scale-{os.getpid()}"
@@ -122,6 +124,33 @@ variants = tok.select(
 corpus = variants.repartition(PART).localCheckpoint(eager=True)
 n_docs = corpus.count()
 
+# round-4: the new operator families carry N->4N evidence too (VERDICT r3
+# item 3).  Amplified copies keep per-key session shapes (user ids fan out
+# with the copy index) and perturb embeddings deterministically so the ANN
+# buckets stay non-degenerate.
+ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+events_amp = ev.select(
+    F.explode(F.sequence(F.lit(0), F.lit(AMP))).alias("v"),
+    "event_id", "user_id", "ts", "value",
+).select(
+    (F.col("event_id") * 100 + F.col("v")).alias("event_id"),
+    (F.col("user_id") * 100 + F.col("v")).alias("user_id"),
+    "ts", "value",
+).repartition(PART).localCheckpoint(eager=True)
+n_events = events_amp.count()
+
+emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+emb_amp = emb.select(
+    F.explode(F.sequence(F.lit(0), F.lit(AMP))).alias("v"), "vec_id", "embedding"
+).select(
+    (F.col("vec_id") * 100 + F.col("v")).alias("vec_id"),
+    F.transform(
+        "embedding",
+        lambda x, i: x + ((F.col("v") * 31 + i) % 7 - 3) * F.lit(0.01),
+    ).alias("embedding"),
+).repartition(PART).localCheckpoint(eager=True)
+n_vecs = emb_amp.count()
+
 def run_pipeline(tag):
     walls = {}
     sig_cpu = sc.accumulator(0.0)
@@ -145,8 +174,21 @@ def run_pipeline(tag):
     t0 = time.time()
     n_assigned = connected_components(edges).count()
     walls["cc"] = time.time() - t0
+    sc.setJobGroup(f"temporal@{tag}", "temporal")
+    t0 = time.time()
+    sess = sessionize(events_amp.select("user_id", "ts", "event_id"),
+                      key="user_id", ts="ts", gap_seconds=43200)
+    n_sessions = sess.groupBy("user_id", "session_idx").count().count()
+    n_windows = window_rollup(events_amp, width="hour", group_cols=()).count()
+    walls["temporal"] = time.time() - t0
+    sc.setJobGroup(f"ann@{tag}", "ann")
+    t0 = time.time()
+    n_ann = lsh_bucket_topk(emb_amp, k=5, dim=64, n_tables=8, n_planes=12,
+                            seed=42, n_probes=2).count()
+    walls["ann"] = time.time() - t0
     sc.setJobGroup(f"idle@{tag}", "idle")
-    return n_edges, n_assigned, time.time() - t_all, walls, float(sig_cpu.value)
+    return (n_edges, n_assigned, n_sessions + n_windows, n_ann,
+            time.time() - t_all, walls, float(sig_cpu.value))
 
 def rest_core_seconds(tag):
     base = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
@@ -177,16 +219,20 @@ def rest_core_seconds(tag):
 run_pipeline("warmup")  # python worker spin-up, codegen JIT, page cache
 runs = []
 for i in range(RUNS):
-    n_edges, n_assigned, wall, walls, sig_cpu = run_pipeline(f"m{i}")
+    n_edges, n_assigned, n_temporal, n_ann, wall, walls, sig_cpu = run_pipeline(f"m{i}")
     runs.append({"wall_sec": round(wall, 2),
                  "phase_wall": {k: round(v, 2) for k, v in walls.items()},
                  "phase_core": rest_core_seconds(f"m{i}"),
                  "sig_python_cpu_sec": round(sig_cpu, 1),
-                 "edges": n_edges, "assigned": n_assigned})
+                 "edges": n_edges, "assigned": n_assigned,
+                 "temporal_rows": n_temporal, "ann_rows": n_ann})
 best = min(runs, key=lambda r: r["wall_sec"])
 shutil.rmtree(local_dir, ignore_errors=True)
-print(json.dumps({"cpus": cpus, "docs": n_docs, "edges": best["edges"],
-                  "assigned": best["assigned"], "wall_sec": best["wall_sec"],
+print(json.dumps({"cpus": cpus, "docs": n_docs, "events": n_events,
+                  "vecs": n_vecs, "edges": best["edges"],
+                  "assigned": best["assigned"],
+                  "temporal_rows": best["temporal_rows"],
+                  "ann_rows": best["ann_rows"], "wall_sec": best["wall_sec"],
                   "docs_per_sec": round(n_docs / best["wall_sec"], 1),
                   "phase_wall": best["phase_wall"], "phase_core": best["phase_core"],
                   "sig_python_cpu_sec": best["sig_python_cpu_sec"],
@@ -280,7 +326,12 @@ def main() -> None:
         lo.append(run_once(N, sf_dir, ballast=BALLAST_LOW))
         hi.append(run_once(4 * N, sf_dir, ballast=BALLAST_HIGH))
     for r in lo + hi:
-        assert r["edges"] == lo[0]["edges"] and r["docs"] == lo[0]["docs"], "nondeterministic job!"
+        assert (
+            r["edges"] == lo[0]["edges"]
+            and r["docs"] == lo[0]["docs"]
+            and r["temporal_rows"] == lo[0]["temporal_rows"]
+            and r["ann_rows"] == lo[0]["ann_rows"]
+        ), "nondeterministic job!"
 
     pairs = sorted(
         (l["wall_sec"] / h["wall_sec"], l, h) for l, h in zip(lo, hi)
@@ -326,7 +377,10 @@ def main() -> None:
         f"- workload: dedup pipeline (signatures → LSH(32×4) → exact-Jaccard",
         f"  verify ≥0.5 → CC) over {r_lo['docs']} docs derived from {sf_dir}",
         f"  ({AMPLIFY}+1 planted variants per base doc, ×{REPEAT} length),",
-        f"  {r_lo['edges']} verified edges",
+        f"  {r_lo['edges']} verified edges; plus a temporal phase",
+        f"  (sessionize + hourly rollup over {r_lo['events']} amplified",
+        f"  events) and an ANN phase (multi-probe hyperplane-LSH top-5 over",
+        f"  {r_lo['vecs']} perturbed embeddings)",
         "",
         "## Headline (best back-to-back pair)",
         "",
