@@ -49,7 +49,7 @@ JACCARD_NUM, JACCARD_DEN = 2, 5  # threshold 0.4, applied as exact integers
 # ---------------------------------------------------------------------------
 
 
-def _scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _scan(spark: SparkSession, sf_dir: str, name: str, widen: bool = True) -> DataFrame:
     """Guarded fixture scan: the testdata is single-row-group parquet, so
     without ensure_min_scan_parallelism every kernel fused onto the scan
     runs on 1 core (the guard is a no-op at cluster scale).  ALL fixture
@@ -63,17 +63,28 @@ def _scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hash-mismatch trio.  Every query routes through this scan, so setting
     the runtime conf here makes results invariant to harness session state
     (the three queries additionally avoid TZ-sensitive constructs outright;
-    see q_tpch_pricing_summary / operators/temporal.window_rollup)."""
+    see q_tpch_pricing_summary / operators/temporal.window_rollup).
+
+    ``widen=False`` skips the guard: its round-robin is a full shuffle of
+    the raw rows, worth paying only when an EXPENSIVE fused kernel follows
+    the scan.  The round-3 bench regressions on exact_dup_groups and
+    substring_pairs were exactly this shuffle bought for nothing —
+    exact-dup is pure JVM whose own groupBy already redistributes (every
+    post-shuffle stage runs wide regardless of scan width), and the
+    substring window-hash kernel at bench scale costs less than shuffling
+    the full text column (measured min-of-5 at sf0.1: 1.09→0.92 s and
+    2.31→1.77 s with the guard bypassed, vs r2's 0.65/1.56 pre-guard)."""
     from vid_dup_finder_lib_spark.session import ensure_min_scan_parallelism
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # schema stability: always infer TZ-less parquet timestamps the same way
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    return ensure_min_scan_parallelism(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return ensure_min_scan_parallelism(df) if widen else df
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _scan(spark, sf_dir, "documents")
+def _docs(spark: SparkSession, sf_dir: str, widen: bool = True) -> DataFrame:
+    return _scan(spark, sf_dir, "documents", widen=widen)
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,8 +206,11 @@ def q_signatures_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9/P11: exact-dup classes over the derived corpus (every base doc has
-    one planted verbatim copy)."""
-    d = _derived_exact(_docs(spark, sf_dir))
+    one planted verbatim copy).  widen=False: pure-JVM md5 + groupBy — the
+    aggregation's own shuffle redistributes, the scan guard's round-robin
+    would be a second full-text shuffle bought for nothing (the round-3
+    bench regression)."""
+    d = _derived_exact(_docs(spark, sf_dir, widen=False))
     return (
         d.groupBy(F.md5("text").alias("content_md5"))
         .agg(
@@ -663,10 +677,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array-pass analog: pairs sharing verbatim 8-token runs, by
-    rolling-window hash equi-join (operators/substring.py)."""
+    rolling-window hash equi-join (operators/substring.py).  widen=False:
+    the C-speed window-hash kernel costs less at bench scale than the scan
+    guard's full-text round-robin shuffle (the round-3 bench regression)."""
     from vid_dup_finder_lib_spark.operators.substring import substring_pairs
 
-    derived = _derived_neardup(_docs(spark, sf_dir))
+    derived = _derived_neardup(_docs(spark, sf_dir, widen=False))
     return substring_pairs(derived, L=8, id_col="doc_id", text_col="text").select(
         F.col("id1").cast("long"), F.col("id2").cast("long"), "shared_windows"
     )
@@ -676,10 +692,11 @@ def q_substring_winnowed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed substring pass (Schleimer et al. sliding-window-min,
     operators/substring.py): pairs sharing kept fingerprints at L=8, W=4.
     Hash-order-dependent, so the oracle is a committed fixture from a
-    Spark-free naive reimplementation (tools/make_winnow_fixture.py)."""
+    Spark-free naive reimplementation (tools/make_winnow_fixture.py).
+    widen=False for the same reason as q_substring_pairs."""
     from vid_dup_finder_lib_spark.operators.substring import substring_pairs
 
-    derived = _derived_neardup(_docs(spark, sf_dir))
+    derived = _derived_neardup(_docs(spark, sf_dir, widen=False))
     return substring_pairs(
         derived, L=8, winnow=4, id_col="doc_id", text_col="text"
     ).select(F.col("id1").cast("long"), F.col("id2").cast("long"), "shared_windows")
