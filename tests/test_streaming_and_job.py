@@ -190,3 +190,50 @@ def test_job_json_and_unique_outputs(spark, tmp_path):
     rows = groups.collect()
     assert len(rows) == 1 and len(rows[0].members) == 3
     assert spark.read.parquet(str(tmp_path / "unique")).count() == 4
+
+
+def test_job_cli_restore_and_list_snapshots(spark, tmp_path, capsys):
+    """--restore / --list-snapshots: the operational face of the K-deep
+    snapshot retention (the reference app's timestamped match-DB backups).
+    A clobbered stage is restored from the CLI without a docs scan."""
+    import json as _json
+
+    from vid_dup_finder_lib_spark.plans import job
+    from vid_dup_finder_lib_spark.plans.checkpoint import CheckpointStore
+    from vid_dup_finder_lib_spark.config import DEFAULT_CONFIG
+
+    cb = CorpusBuilder(seed=74)
+    cb.make_clusters(
+        num_clusters=2, first_size=4, size_step=1, intra_d=20, inter_d=200, doclen=400
+    )
+    docs_path = str(tmp_path / "docs")
+    cb.to_spark(spark, partitions=2).write.parquet(docs_path)
+    ckpt = str(tmp_path / "ckpt")
+
+    rc = job.main(["--docs", docs_path, "--checkpoint", ckpt, "--tolerance", "0.100"])
+    assert rc == 0
+    capsys.readouterr()
+
+    # clobber the groups stage the way a bad run would (same fingerprint)
+    store = CheckpointStore(
+        ckpt, DEFAULT_CONFIG,
+        extra_fingerprint={
+            "canonicalize_urls": False,
+            "strip_boilerplate": False,
+            "boilerplate_min_df": [1, 2],
+        },
+    )
+    good_count = store.read(spark, "groups").count()
+    store.write("groups", spark.range(2).selectExpr("id as cluster_id", "id"))
+    assert store.read(spark, "groups").count() == 2
+
+    rc = job.main(["--checkpoint", ckpt, "--list-snapshots"])
+    assert rc == 0
+    listing = _json.loads(capsys.readouterr().out)
+    assert listing["groups"]  # the retired good generation is retained
+
+    rc = job.main(["--checkpoint", ckpt, "--restore", "groups"])
+    assert rc == 0
+    res = _json.loads(capsys.readouterr().out)
+    assert res["restored"] == "groups"
+    assert store.read(spark, "groups").count() == good_count

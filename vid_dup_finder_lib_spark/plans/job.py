@@ -23,7 +23,11 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="near-dup detection pipeline")
-    p.add_argument("--docs", required=True, help="parquet path of the docs table")
+    p.add_argument(
+        "--docs",
+        help="parquet path of the docs table (required unless --restore/"
+             "--list-snapshots)",
+    )
     p.add_argument("--checkpoint", required=True, help="checkpoint store root")
     p.add_argument("--tolerance", type=float, default=None)
     p.add_argument("--grouping", choices=["cc", "matchset"], default="cc")
@@ -58,12 +62,57 @@ def main(argv: list[str] | None = None) -> int:
         "--reload-errs", action="store_true",
         help="retry cached error rows (the reference's --reload-errs)",
     )
+    p.add_argument(
+        "--restore", metavar="STAGE",
+        help="restore STAGE's newest retained snapshot generation and exit "
+             "(repeatable restores walk further back; the reference keeps "
+             "timestamped match-DB backups, match_db.rs:358-374)",
+    )
+    p.add_argument(
+        "--list-snapshots", action="store_true",
+        help="print retained snapshot generations per stage and exit",
+    )
     args = p.parse_args(argv)
+    if not args.docs and not (args.restore or args.list_snapshots):
+        p.error("--docs is required unless --restore/--list-snapshots")
 
     from pyspark.sql import SparkSession
 
     from vid_dup_finder_lib_spark.config import DEFAULT_CONFIG
     from vid_dup_finder_lib_spark.plans.pipeline import run_dedup_pipeline
+
+    if args.restore or args.list_snapshots:
+        # recovery modes need no Spark session and no docs scan
+        import os
+
+        from vid_dup_finder_lib_spark.plans.checkpoint import CheckpointStore
+
+        store = CheckpointStore(
+            args.checkpoint,
+            DEFAULT_CONFIG,
+            extra_fingerprint={
+                "canonicalize_urls": args.canonicalize_urls,
+                "strip_boilerplate": args.strip_boilerplate,
+                "boilerplate_min_df": [
+                    int(x) for x in args.boilerplate_min_df.split("/")
+                ],
+            },
+        )
+        if args.list_snapshots:
+            stages = sorted(
+                d for d in os.listdir(args.checkpoint) if not d.startswith(".")
+            )
+            print(json.dumps(
+                {s: store.snapshots(s) for s in stages}, indent=2, sort_keys=True
+            ))
+            return 0
+        m = store.restore(args.restore)
+        print(json.dumps({
+            "restored": args.restore,
+            "row_count": m.get("row_count"),
+            "remaining_snapshots": store.snapshots(args.restore),
+        }, indent=2))
+        return 0
 
     spark = SparkSession.builder.appName("vid-dup-finder-spark-job").getOrCreate()
     docs = spark.read.parquet(args.docs)
