@@ -99,3 +99,65 @@ def doc_fingerprint(text: Column, k: int = 3) -> Column:
     return F.when(
         F.size(shingles) > 0, F.array_min(F.transform(shingles, lambda s: F.md5(s)))
     )
+
+
+def token_lines(text: Column, line_tokens: int = 8) -> Column:
+    """Deterministic re-lining: the doc's normalized tokens in consecutive
+    ``line_tokens``-token chunks, each joined by single spaces — the unit
+    the Gopher-style repetition metrics run over (web text loses its
+    original line structure after normalization; fixed-token chunks give
+    every engine the same lines).  Empty array for empty docs."""
+    toks = tokens_col(normalize_text(text))
+    n = F.size(toks)
+    lt = F.lit(line_tokens)
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.floor((n + lt - 1) / lt) - 1),
+            lambda i: F.array_join(F.slice(toks, i * lt + 1, line_tokens), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_repetition_stats(lines: Column, n_tokens: Column) -> dict[str, Column]:
+    """Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1
+    heuristics re-expressed as exact integer tests — public knowledge):
+    duplicate-line count and the derived flags.  All pure codegen; the
+    fraction thresholds are applied as cross-multiplied integer
+    comparisons (dup/line > 3/10 becomes dup*10 > line*3) so the DuckDB
+    oracle matches bit-for-bit with no float in sight."""
+    line_count = F.size(lines).cast("long")
+    distinct_count = F.size(F.array_distinct(lines)).cast("long")
+    dup_count = (line_count - distinct_count).cast("long")
+    return {
+        "line_count": line_count,
+        "dup_line_count": dup_count,
+        "dup_line_flag": dup_count * 10 > line_count * 3,  # >30 % duplicate lines
+        "short_doc_flag": n_tokens < 50,
+    }
+
+
+# contamination patterns: deliberately the common regex subset (character
+# classes, +, bounded repeats) that Java regex (Spark) and RE2-style
+# (DuckDB) implement identically — fancier constructs (lookaround,
+# backrefs) would silently diverge between engines
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def contamination_stats(text: Column) -> dict[str, Column]:
+    """PII/contamination scan for training-data hygiene: per-doc counts of
+    email / phone-shaped spans plus the md5 of the scrubbed text (emails
+    -> <EMAIL>, phones -> <PHONE>) — the hash is what a downstream exact
+    -dedup stage would run on, so it is part of the contract, not
+    cosmetics.  Pure codegen (regexp_count / regexp_replace)."""
+    masked = F.regexp_replace(
+        F.regexp_replace(text, F.lit(EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return {
+        "email_hits": F.regexp_count(text, F.lit(EMAIL_RE)).cast("long"),
+        "phone_hits": F.regexp_count(text, F.lit(PHONE_RE)).cast("long"),
+        "masked_md5": F.md5(masked),
+    }

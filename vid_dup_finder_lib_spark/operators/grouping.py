@@ -255,50 +255,13 @@ def with_output_rank(
     explicitly so ASC agrees)."""
     from pyspark.sql.window import Window
 
-    spark = stats.sparkSession
-    korder = F.desc_nulls_last(key_col) if descending else F.asc_nulls_last(key_col)
+    from vid_dup_finder_lib_spark.operators.prefix import exclusive_running_sum
 
+    korder = F.desc_nulls_last(key_col) if descending else F.asc_nulls_last(key_col)
     cnts = stats.groupBy(key_col).agg(F.count("*").alias("_cnt"))
-    n_range = max(spark.sparkContext.defaultParallelism, 1)
-    # materialize: spark_partition_id + sampled range boundaries must not
-    # be recomputed differently between the totals aggregate and the join
-    ranged = (
-        cnts.repartitionByRange(n_range, korder)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    wp = (
-        Window.partitionBy("_pid")
-        .orderBy(korder)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = ranged.withColumn(
-        "_local_off", (F.sum("_cnt").over(wp) - F.col("_cnt")).cast("long")
-    )
-    ptot = sorted(
-        (int(r["_pid"]), int(r["t"]))
-        for r in ranged.groupBy("_pid").agg(F.sum("_cnt").alias("t")).collect()
-    )
-    acc, bases = 0, []
-    for pid, t in ptot:
-        bases.append((pid, acc))
-        acc += t
-    base_df = spark.createDataFrame(
-        bases,
-        T.StructType(
-            [
-                T.StructField("_pid", T.IntegerType(), False),
-                T.StructField("_base", T.LongType(), False),
-            ]
-        ),
-    )
-    offs = (
-        local.join(F.broadcast(base_df), "_pid")
-        .select(
-            F.col(key_col).alias("_off_key"),
-            (F.col("_base") + F.col("_local_off")).alias("_rank_offset"),
-        )
-    )
+    offs = exclusive_running_sum(
+        cnts, [korder], "_cnt", out_col="_rank_offset"
+    ).select(F.col(key_col).alias("_off_key"), "_rank_offset")
     joined = stats.join(
         offs, stats[key_col].eqNullSafe(F.col("_off_key"))
     ).drop("_off_key")
