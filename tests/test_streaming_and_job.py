@@ -237,3 +237,61 @@ def test_job_cli_restore_and_list_snapshots(spark, tmp_path, capsys):
     res = _json.loads(capsys.readouterr().out)
     assert res["restored"] == "groups"
     assert store.read(spark, "groups").count() == good_count
+
+
+def test_job_cli_quality_gate(spark, tmp_path):
+    """--quality-gate: docs failing the Gopher repetition/short-doc flags
+    are dropped in a checkpointed stage (durable lineage, no silent loss);
+    clean docs group exactly as without the gate."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=76)
+    cb.make_clusters(
+        num_clusters=2, first_size=4, size_step=1, intra_d=20, inter_d=200, doclen=400
+    )
+    docs = cb.to_spark(spark, partitions=2)
+    # plant: one doc that is one 8-token line repeated 20x (dup-line frac
+    # ~0.95 >> 0.3) and one 5-token doc (< 50-token cutoff)
+    junk = spark.createDataFrame(
+        [
+            Row(
+                url="junk://repetitive",
+                warc_ts=docs.select("warc_ts").first()[0],
+                html=bytearray(b""),
+                text=" ".join(["spam spam spam spam wall of repeated text"] * 20),
+                lang="en",
+            ),
+            Row(
+                url="junk://short",
+                warc_ts=docs.select("warc_ts").first()[0],
+                html=bytearray(b""),
+                text="too short to train on",
+                lang="en",
+            ),
+        ],
+        docs.schema,
+    )
+    docs_path = str(tmp_path / "docs")
+    docs.unionByName(junk).write.parquet(docs_path)
+    out_path = str(tmp_path / "groups")
+    ckpt = str(tmp_path / "ckpt")
+
+    rc = job.main(
+        [
+            "--docs", docs_path,
+            "--checkpoint", ckpt,
+            "--tolerance", "0.100",
+            "--output", out_path,
+            "--quality-gate",
+        ]
+    )
+    assert rc == 0
+    kept = spark.read.parquet(str(tmp_path / "ckpt" / "docs_quality" / "data"))
+    assert kept.count() == 9  # both junk docs dropped, durable in lineage
+    assert kept.where(F.col("url").startswith("junk://")).count() == 0
+    groups = spark.read.parquet(out_path)
+    sizes = sorted(r["count"] for r in groups.groupBy("cluster_id").count().collect())
+    assert sizes == [4, 5]

@@ -119,7 +119,9 @@ def token_lines(text: Column, line_tokens: int = 8) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def gopher_repetition_stats(lines: Column, n_tokens: Column) -> dict[str, Column]:
+def gopher_repetition_stats(
+    lines: Column, n_tokens: Column, min_tokens: int = 50
+) -> dict[str, Column]:
     """Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1
     heuristics re-expressed as exact integer tests — public knowledge):
     duplicate-line count and the derived flags.  All pure codegen; the
@@ -133,7 +135,7 @@ def gopher_repetition_stats(lines: Column, n_tokens: Column) -> dict[str, Column
         "line_count": line_count,
         "dup_line_count": dup_count,
         "dup_line_flag": dup_count * 10 > line_count * 3,  # >30 % duplicate lines
-        "short_doc_flag": n_tokens < 50,
+        "short_doc_flag": n_tokens < min_tokens,
     }
 
 

@@ -63,6 +63,16 @@ def main(argv: list[str] | None = None) -> int:
         help="retry cached error rows (the reference's --reload-errs)",
     )
     p.add_argument(
+        "--quality-gate", action="store_true",
+        help="drop docs failing the Gopher-style repetition/short-doc flags "
+             "before signature work (checkpointed stage: the removed count "
+             "is durable lineage, not a silent loss)",
+    )
+    p.add_argument(
+        "--quality-min-tokens", type=int, default=50, metavar="N",
+        help="short-doc cutoff for --quality-gate (default 50)",
+    )
+    p.add_argument(
         "--restore", metavar="STAGE",
         help="restore STAGE's newest retained snapshot generation and exit "
              "(repeatable restores walk further back; the reference keeps "
@@ -96,6 +106,12 @@ def main(argv: list[str] | None = None) -> int:
                 "boilerplate_min_df": [
                     int(x) for x in args.boilerplate_min_df.split("/")
                 ],
+                **(
+                    {"quality_gate": True,
+                     "quality_min_tokens": args.quality_min_tokens}
+                    if args.quality_gate
+                    else {}
+                ),
             },
         )
         if args.list_snapshots:
@@ -135,6 +151,8 @@ def main(argv: list[str] | None = None) -> int:
         canonicalize_urls=args.canonicalize_urls,
         strip_boilerplate=args.strip_boilerplate,
         boilerplate_min_df=tuple(int(x) for x in args.boilerplate_min_df.split("/")),
+        quality_gate=args.quality_gate,
+        quality_min_tokens=args.quality_min_tokens,
         reload_errors=args.reload_errs,
     )
     if args.output:

@@ -53,6 +53,8 @@ def run_dedup_pipeline(
     canonicalize_urls: bool = False,
     strip_boilerplate: bool = False,
     boilerplate_min_df: tuple[int, int] = (1, 2),
+    quality_gate: bool = False,
+    quality_min_tokens: int = 50,
     reload_errors: bool = False,
     signature_buckets: int = 64,
 ) -> PipelineResult:
@@ -69,22 +71,31 @@ def run_dedup_pipeline(
     ``Cropdetect::None``).  ``reload_errors``: retry cached error rows
     (``--reload-errs``).
 
-    The strip knobs are part of the stage fingerprint: toggling
-    ``strip_boilerplate`` or changing ``boilerplate_min_df`` against an
-    existing checkpoint REFUSES (validate-or-die) instead of silently
-    reusing a ``docs_stripped``/``signatures`` table computed under the
-    other preprocessing — the refresh diff keys on ``warc_ts``, which the
-    strip deliberately preserves, so without the fingerprint the staleness
-    would be invisible."""
-    store = CheckpointStore(
-        checkpoint_root,
-        cfg,
-        extra_fingerprint={
-            "canonicalize_urls": canonicalize_urls,
-            "strip_boilerplate": strip_boilerplate,
-            "boilerplate_min_df": list(boilerplate_min_df),
-        },
-    )
+    ``quality_gate``: optional pre-signature quality filter — drop docs
+    failing the Gopher-style repetition/short-doc flags
+    (functions/textstats.gopher_repetition_stats over 8-token re-lining;
+    ``quality_min_tokens`` sets the short-doc cutoff).  The drop is a
+    checkpointed stage, so the removed count is durable lineage, never a
+    silent loss.
+
+    The strip/gate knobs are part of the stage fingerprint: toggling
+    ``strip_boilerplate``/``quality_gate`` or changing their thresholds
+    against an existing checkpoint REFUSES (validate-or-die) instead of
+    silently reusing a ``docs_stripped``/``docs_quality``/``signatures``
+    table computed under the other preprocessing — the refresh diff keys
+    on ``warc_ts``, which both stages preserve, so without the fingerprint
+    the staleness would be invisible.  (The quality keys join the
+    fingerprint only when the gate is ON, so existing gate-less
+    checkpoints keep their fingerprints.)"""
+    extra_fp = {
+        "canonicalize_urls": canonicalize_urls,
+        "strip_boilerplate": strip_boilerplate,
+        "boilerplate_min_df": list(boilerplate_min_df),
+    }
+    if quality_gate:
+        extra_fp["quality_gate"] = True
+        extra_fp["quality_min_tokens"] = quality_min_tokens
+    store = CheckpointStore(checkpoint_root, cfg, extra_fingerprint=extra_fp)
     tol = cfg.default_tolerance if tolerance is None else tolerance
 
     if canonicalize_urls:
@@ -115,6 +126,28 @@ def run_dedup_pipeline(
 
         docs = store.run_stage(
             spark, "docs_stripped", _stripped, upstream=["docs"], force=force
+        )
+
+    if quality_gate:
+        from pyspark.sql import functions as F
+
+        from vid_dup_finder_lib_spark.functions.textstats import (
+            gopher_repetition_stats,
+            token_lines,
+            whitespace_token_count,
+        )
+
+        def _quality():
+            lines = token_lines(F.col(text_col), 8)
+            flags = gopher_repetition_stats(
+                lines, whitespace_token_count(F.col(text_col)), quality_min_tokens
+            )
+            return docs.where(
+                ~(flags["dup_line_flag"] | flags["short_doc_flag"])
+            )
+
+        docs = store.run_stage(
+            spark, "docs_quality", _quality, upstream=["docs"], force=force
         )
 
     # Signatures persist in the hash-partitioned store: compute is O(delta)
