@@ -394,3 +394,35 @@ def test_crashed_restore_trash_is_swept(spark, tmp_path):
     os.makedirs(os.path.join(root, ".restore-trash-deadbeef", "bucket=3"))
     store.read(spark)  # any operation sweeps
     assert not [d for d in os.listdir(root) if d.startswith(".restore-trash")]
+
+
+def test_fully_deleted_bucket_travel_and_restore(spark, tmp_path):
+    """An upsert that deletes EVERY row of a bucket retires the old dir and
+    replaces it with nothing; time travel must resurface those rows and
+    restore must bring the dir back."""
+    root = str(tmp_path / "store_alldel")
+    store = PartitionedSignatureStore(root, CFG, num_buckets=4)
+    store.write_full(_table(spark, range(40)))
+    original = {(r.id, r.payload) for r in store.read(spark).collect()}
+
+    # find every id in bucket 0 and delete them all
+    ids0 = [
+        r.id
+        for r in spark.createDataFrame([(i,) for i in range(40)], "id long")
+        .select("id", bucket_col("id", 4).alias("b"))
+        .where(F.col("b") == 0)
+        .collect()
+    ]
+    assert ids0
+    store.upsert(
+        spark.createDataFrame([], "id long, payload string"),
+        spark.createDataFrame([(i,) for i in ids0], "id long"),
+    )
+    assert not os.path.exists(os.path.join(root, "data", "bucket=0"))
+    after = {(r.id, r.payload) for r in store.read(spark).collect()}
+    assert after == {t for t in original if t[0] not in set(ids0)}
+
+    assert {(r.id, r.payload) for r in store.read_as_of(spark, 1).collect()} == original
+    store.restore_previous(spark)
+    assert {(r.id, r.payload) for r in store.read(spark).collect()} == original
+    assert os.path.exists(os.path.join(root, "data", "bucket=0"))
