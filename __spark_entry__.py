@@ -916,6 +916,19 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_workdir(prefix: str) -> str:
+    """Per-call scratch dir for the streaming-output queries (source link +
+    sink + checkpoint), removed at interpreter exit — the result DataFrame
+    reads the sink lazily, so the dir must outlive the query function."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def q_streamed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming made oracle-visible (round-3 verdict item 6):
     the Spark side RUNS the watermarked streaming rollup (availableNow
@@ -925,11 +938,10 @@ def q_streamed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max event time − delay).  Everything else (integer day/hour
     bucketing, decimal sums) matches the batch rollup contract."""
     import os
-    import tempfile
 
     from vid_dup_finder_lib_spark.streaming.rollup import run_rollup_to_parquet
 
-    work = tempfile.mkdtemp(prefix="streamed_rollup_")
+    work = _stream_workdir("streamed_rollup_")
     _scan(spark, sf_dir, "events")  # pins session TZ/NTZ conf like every query
     # the file streaming source requires a DIRECTORY; the fixture is a bare
     # file — link it into one (read-only source stays untouched)
@@ -965,11 +977,10 @@ def q_streamed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule — and the emission rule (session end + gap at or before the
     final watermark)."""
     import os
-    import tempfile
 
     from vid_dup_finder_lib_spark.streaming.sessions import run_sessions_to_parquet
 
-    work = tempfile.mkdtemp(prefix="streamed_sessions_")
+    work = _stream_workdir("streamed_sessions_")
     _scan(spark, sf_dir, "events")  # pins session TZ/NTZ conf like every query
     os.makedirs(f"{work}/src")
     os.symlink(f"{sf_dir}/events.parquet", f"{work}/src/events.parquet")
