@@ -916,6 +916,43 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): training docs
+    sharing any verbatim 13-gram with a held-out eval corpus are flagged.
+    Derived split: docs with doc_id % 97 == 0 are the benchmark; every
+    remaining doc with doc_id % 10 == 0 gets the first benchmark doc's
+    first 13 tokens appended — planted contamination with known ground
+    truth.  The benchmark n-gram set is broadcast: the training side never
+    shuffles."""
+    from vid_dup_finder_lib_spark.operators.decontam import benchmark_contamination
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    prefix = (
+        bench.orderBy("doc_id")
+        .limit(1)
+        .select(
+            F.array_join(
+                F.slice(tokens_col(normalize_text(F.col("text"))), 1, 13), " "
+            ).alias("_p")
+        )
+    )
+    train = (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .crossJoin(F.broadcast(prefix))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(F.col("text"), F.lit(" "), F.col("_p")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    return benchmark_contamination(train, bench, n=13)
+
+
 def _stream_workdir(prefix: str) -> str:
     """Per-call scratch dir for the streaming-output queries (source link +
     sink + checkpoint), removed at interpreter exit — the result DataFrame
@@ -1345,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "contamination_scan": q_contamination_scan,
         "shard_packing": q_shard_packing,
+        "benchmark_decontam": q_benchmark_decontam,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
         "substring_winnowed_pairs": q_substring_winnowed_pairs,
@@ -1788,6 +1826,56 @@ SELECT doc_id,
         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS masked_md5
 FROM contaminated
+""",
+        # 13-gram eval-set decontamination over the derived benchmark/
+        # training split (planted contamination: first benchmark doc's
+        # 13-token prefix appended at doc_id % 10 == 0)
+        "benchmark_decontam": r"""
+WITH norm AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN []::VARCHAR[] ELSE string_split(norm, ' ') END AS toks
+  FROM norm
+),
+bench AS (SELECT doc_id, toks FROM tok WHERE doc_id % 97 = 0),
+prefix AS (
+  SELECT array_to_string(toks[1:13], ' ') AS p FROM bench ORDER BY doc_id LIMIT 1
+),
+train AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 0
+         THEN list_concat(toks, string_split((SELECT p FROM prefix), ' '))
+         ELSE toks END AS toks
+  FROM tok WHERE doc_id % 97 != 0
+),
+tng AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) < 13 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(toks) - 11),
+                             i -> md5(array_to_string(toks[i:i+12], ' ')))
+    END)) AS h
+  FROM train
+),
+bng AS (
+  SELECT DISTINCT h FROM (
+    SELECT unnest(list_distinct(
+      CASE WHEN len(toks) < 13 THEN []::VARCHAR[]
+           ELSE list_transform(range(1, len(toks) - 11),
+                               i -> md5(array_to_string(toks[i:i+12], ' ')))
+      END)) AS h
+    FROM bench
+  )
+),
+matched AS (
+  SELECT doc_id, count(*) AS n FROM tng JOIN bng USING (h) GROUP BY 1
+)
+SELECT t.doc_id, COALESCE(m.n, 0)::BIGINT AS n_contaminated_ngrams,
+       COALESCE(m.n, 0) > 0 AS contaminated
+FROM train t LEFT JOIN matched m ON t.doc_id = m.doc_id
 """,
         # contiguous token-budget shard packing: exclusive running sum in
         # doc_id order // budget — the distributed prefix sum's SQL twin

@@ -121,3 +121,33 @@ def test_token_lines_chunking(spark):
     assert got[2] == ["x y"]
     assert got[3] == []
     assert got[4] == []
+
+
+def test_benchmark_contamination_ground_truth(spark):
+    """Decontam flags exactly the docs sharing a verbatim 13-gram with the
+    benchmark; shorter overlaps and short docs never flag; clean docs
+    appear with zeros (a report omitting them would conflate 'not
+    checked' with 'clean')."""
+    from vid_dup_finder_lib_spark.operators.decontam import benchmark_contamination
+
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    gram13 = " ".join(f"b{i}" for i in range(13))
+    rows = [
+        (1, "clean words only " + " ".join(f"c{i}" for i in range(30))),
+        (2, "prefix then " + gram13 + " then suffix"),          # 1 shared 13-gram (more via overlap)
+        (3, " ".join(f"b{i}" for i in range(12)) + " unrelated tail of words here and more"),  # only 12 shared tokens
+        (4, "tiny doc"),                                          # < 13 tokens
+        (5, bench_text),                                          # full copy: all 8 13-grams
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_contaminated_ngrams, r.contaminated)
+        for r in benchmark_contamination(train, bench, n=13).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}  # every training doc reported
+    assert got[1] == (0, False)
+    assert got[2][1] is True and got[2][0] >= 1
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+    assert got[5] == (8, True)  # 20-token doc holds 20-13+1 = 8 distinct 13-grams

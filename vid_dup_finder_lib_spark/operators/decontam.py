@@ -1,0 +1,81 @@
+"""Benchmark decontamination: flag training docs sharing verbatim n-grams
+with an evaluation corpus.
+
+The standard training-data hygiene step (GPT-3 appendix-C style 13-gram
+decontamination, public knowledge): any training document containing a
+verbatim n-gram that also appears in a benchmark/eval document is
+contaminated — training on it inflates eval scores.  The reference's
+closest analog is the falsepos/confirmed match-DB filtering (matchdb.rs):
+an external curated set changes what the pipeline keeps.
+
+Scale shape:
+
+* both sides reduce to DISTINCT per-doc n-gram md5 hashes
+  (``shingles_col`` + md5 — pure codegen, cross-engine-reproducible like
+  ``doc_fingerprint``);
+* eval corpora are tiny relative to training corpora (thousands vs 10^12
+  docs), so the benchmark hash set is **broadcast** — the training side
+  streams map-side through the join, NO shuffle of training data;
+* output is per-doc: matched-distinct-ngram count + flag.  Counting needs
+  a groupBy on doc_id only over the MATCHED rows (post-broadcast-join
+  survivors — a tiny fraction), not the full explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vid_dup_finder_lib_spark.functions.text import normalize_text, shingles_col, tokens_col
+
+
+def ngram_hashes(docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, ngram_md5) — distinct per doc, exploded.  Docs shorter than n
+    tokens contribute no rows (they cannot contain a verbatim n-gram)."""
+    sh = shingles_col(tokens_col(normalize_text(F.col(text_col))), n)
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("ng"))
+        .select("id", F.md5("ng").alias("ngram_md5"))
+    )
+
+
+def benchmark_contamination(
+    training: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-training-doc contamination report: ``(id_col,
+    n_contaminated_ngrams, contaminated)``.  Every training doc appears in
+    the output (clean docs with 0/false) — a report that silently omitted
+    clean docs would make "not checked" indistinguishable from "clean".
+
+    ``n_contaminated_ngrams`` counts DISTINCT training-side n-grams that
+    appear anywhere in the benchmark corpus (per-doc distinct via
+    shingles_col; the same n-gram appearing in several benchmark docs
+    counts once — the benchmark side is deduplicated before the join so
+    the semi-join multiplicity cannot inflate counts).
+    """
+    train_ng = ngram_hashes(training, n, id_col, text_col)
+    bench_ng = (
+        ngram_hashes(benchmark, n, id_col, text_col)
+        .select("ngram_md5")
+        .distinct()
+    )
+    matched = (
+        train_ng.join(F.broadcast(bench_ng), "ngram_md5")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    ids = training.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(matched, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).cast("long").alias(
+                "n_contaminated_ngrams"
+            ),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
