@@ -116,6 +116,10 @@ def main() -> None:
         "ivf_topk",
         "streamed_event_rollup",
         "streamed_sessions",
+        "gopher_repetition",
+        "contamination_scan",
+        "shard_packing",
+        "benchmark_decontam",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}
