@@ -1,0 +1,95 @@
+"""Physical-plan assertions for round-4 operators — the plan claims in
+PLANS.md pinned by tests, not prose.
+
+These parse `.explain("formatted")` output.  Brittle against Spark
+versions in principle, but the asserted properties (a broadcast join
+present, NO vector-typed exchange, no single-partition window) are the
+load-bearing scale properties — if an upgrade breaks the string match,
+the right response is to re-audit the plan, which is the point.
+"""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_decontam_benchmark_side_is_broadcast(spark):
+    """The benchmark n-gram set must broadcast: the training side streams
+    map-side through the contamination join, never shuffling on the n-gram
+    hash (eval corpora are tiny; training corpora are the 10^12 side)."""
+    from vid_dup_finder_lib_spark.operators.decontam import benchmark_contamination
+
+    train = spark.createDataFrame(
+        [(i, "some words " * 20) for i in range(50)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "bench words " * 20)], "doc_id long, text string"
+    )
+    plan = _plan(benchmark_contamination(train, bench, n=13))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the training->match join on ngram_md5 must not hash-partition the
+    # training explode: no Exchange keyed on the ngram hash column
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "ngram_md5" not in line, line
+
+
+def test_lsh_topk_vectors_attach_after_distinct(spark):
+    """PLANS.md §4b: the candidate path (bucket join + cross-table
+    distinct) shuffles bare id pairs; vectors ship through EXACTLY the two
+    attach-join exchanges (q-side, n-side) — once per surviving pair,
+    never per candidate-bucket row.  With multi-probe the property must
+    still hold (probe keys are id+int+long rows only)."""
+    from vid_dup_finder_lib_spark.operators.ann import lsh_bucket_topk
+
+    df = spark.createDataFrame(
+        [(i, [float((i * j) % 7) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    ).localCheckpoint()
+    plan = _plan(lsh_bucket_topk(df, k=3, dim=8, n_tables=4, n_planes=6, seed=1, n_probes=2))
+    # walk the node descriptions: each "(N) NodeName" header, then its
+    # Input/Arguments lines; collect shuffle-exchange nodes carrying vectors
+    vec_exchanges = []
+    bucket_exchange_has_vector = False
+    cur = None
+    for line in plan.splitlines():
+        stripped = line.strip()
+        if stripped.startswith("(") and ") " in stripped[:7]:
+            cur = stripped
+        if cur and "Exchange" in cur and "Broadcast" not in cur and "Input" in line:
+            if "qv" in line or "cv" in line or "embedding" in line:
+                vec_exchanges.append((cur, line.strip()[:120]))
+            if "bucket" in line:
+                bucket_exchange_has_vector = (
+                    bucket_exchange_has_vector or "embedding" in line
+                )
+    # the bucket-key candidate exchange never carries vectors
+    assert not bucket_exchange_has_vector
+    # vectors ride only the attach shape: the two per-ID side inputs plus
+    # the per-PAIR shuffle carrying qv to meet cv (exactly one vector per
+    # surviving pair) — never the per-candidate-bucket-row explode
+    assert len(vec_exchanges) <= 3, vec_exchanges
+    for _node, line in vec_exchanges:
+        assert "bucket" not in line and "table_id" not in line, line
+
+
+def test_pack_shards_no_global_window(spark):
+    """The packing plan must contain no single-partition window: every
+    Window node partitions by the range-partition id."""
+    from vid_dup_finder_lib_spark.operators.packing import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, i % 10 + 1) for i in range(200)], "doc_id long, n_tokens long"
+    ).repartition(8)
+    plan = _plan(pack_shards(df, budget=50))
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_pid" in line, f"unpartitioned window: {line}"
