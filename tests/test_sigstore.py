@@ -426,3 +426,50 @@ def test_fully_deleted_bucket_travel_and_restore(spark, tmp_path):
     store.restore_previous(spark)
     assert {(r.id, r.payload) for r in store.read(spark).collect()} == original
     assert os.path.exists(os.path.join(root, "data", "bucket=0"))
+
+
+def test_manifest_lineage_is_incremental_and_exact(spark, tmp_path):
+    """The manifest's per-bucket lineage must stay exact through upserts
+    (including a fully-deleted bucket) and restores WITHOUT rescanning the
+    table: counts equal an independent full recount at every step."""
+    root = str(tmp_path / "store_lineage")
+    store = PartitionedSignatureStore(root, CFG, num_buckets=4)
+    store.write_full(_table(spark, range(40)))
+
+    def recount():
+        return {
+            int(r["bucket"]): int(r["cnt"])
+            for r in spark.read.parquet(os.path.join(root, "data"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+
+    def manifest_counts():
+        return {int(k): int(v) for k, v in store.manifest()["partition_rows"].items()}
+
+    store.upsert(_table(spark, [1, 2, 39], val_prefix="NEW"),
+                 spark.createDataFrame([(5,)], "id long"))
+    assert manifest_counts() == recount()
+    assert store.manifest()["row_count"] == 39
+
+    # wipe one whole bucket
+    ids0 = [
+        r.id
+        for r in spark.createDataFrame([(i,) for i in range(40)], "id long")
+        .select("id", bucket_col("id", 4).alias("b"))
+        .where(F.col("b") == 0)
+        .collect()
+    ]
+    store.upsert(
+        spark.createDataFrame([], "id long, payload string"),
+        spark.createDataFrame([(i,) for i in ids0], "id long"),
+    )
+    assert manifest_counts() == recount()
+    assert 0 not in manifest_counts()
+
+    store.restore_previous(spark)
+    assert manifest_counts() == recount()
+    store.restore_previous(spark)
+    assert manifest_counts() == recount()
+    assert store.manifest()["row_count"] == 40
