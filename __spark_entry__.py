@@ -916,6 +916,40 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signal #2: the most frequent bigram's share of
+    all bigram occurrences (mode_token's shape, one n up) — a doc whose
+    top bigram exceeds 20 % of occurrences is repetition-flagged.  Flag
+    via cross-multiplied integers; ties break to the lexicographically
+    first bigram."""
+    from pyspark.sql.window import Window
+
+    tok = _tokens(_docs(spark, sf_dir))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = tok.select("doc_id", F.explode(bigrams).alias("bg"))
+    counts = big.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.groupBy("doc_id").agg(F.sum("cnt").alias("bigram_total"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("bg"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("bg").alias("top_bigram"), F.col("cnt").alias("top_count"))
+    )
+    return top.join(totals, "doc_id").select(
+        "doc_id",
+        "top_bigram",
+        "top_count",
+        "bigram_total",
+        (F.col("top_count") * 5 > F.col("bigram_total")).alias("bigram_rep_flag"),
+    )
+
+
 def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): training docs
     sharing any verbatim 13-gram with a held-out eval corpus are flagged.
@@ -1383,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_scan": q_contamination_scan,
         "shard_packing": q_shard_packing,
         "benchmark_decontam": q_benchmark_decontam,
+        "top_bigram_stats": q_top_bigram_stats,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
         "substring_winnowed_pairs": q_substring_winnowed_pairs,
@@ -1826,6 +1861,38 @@ SELECT doc_id,
         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS masked_md5
 FROM contaminated
+""",
+        # top-bigram occurrence share (Gopher repetition signal #2):
+        # mode_token one n up, rep flag at >20 % via integer cross-multiply
+        "top_bigram_stats": r"""
+WITH norm AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN []::VARCHAR[] ELSE string_split(norm, ' ') END AS toks
+  FROM norm
+),
+big AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(toks)),
+                             i -> toks[i] || ' ' || toks[i+1]) END) AS bg
+  FROM tok
+),
+counts AS (SELECT doc_id, bg, count(*) AS cnt FROM big GROUP BY 1, 2),
+ranked AS (
+  SELECT doc_id, bg, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg ASC) AS rn,
+         SUM(cnt) OVER (PARTITION BY doc_id) AS bigram_total
+  FROM counts
+)
+SELECT doc_id, bg AS top_bigram, cnt AS top_count,
+       bigram_total::BIGINT AS bigram_total,
+       (cnt * 5 > bigram_total) AS bigram_rep_flag
+FROM ranked WHERE rn = 1
 """,
         # 13-gram eval-set decontamination over the derived benchmark/
         # training split (planted contamination: first benchmark doc's
