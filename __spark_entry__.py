@@ -330,6 +330,26 @@ def q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data composition: deterministic per-cluster downsampling —
+    keep at most 3 members per near-dup cluster, ranked by md5(doc_id)
+    (a seedless, engine-reproducible shuffle: hash order is uniform but
+    identical in Spark and DuckDB).  The cap bounds how much any one
+    duplicated document can contribute to a training mix — the standard
+    'keep a few copies, not the whole cluster' policy."""
+    from pyspark.sql.window import Window
+
+    cc = q_connected_components(spark, sf_dir)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        cc.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 3)
+        .select("cluster_id", "doc_id", "sample_rank")
+    )
+
+
 def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/O2: per-cluster size + max edge distance (union−inter: an integer
     distance surrogate), with the output-sort rank as a column.
@@ -1386,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "connected_components": q_connected_components,
         "cluster_members": q_cluster_members,
+        "cluster_capped_sample": q_cluster_capped_sample,
         "group_stats": q_group_stats,
         "unique_docs": q_unique_docs,
         "group_filter": q_group_filter,
@@ -1470,6 +1491,17 @@ cc AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM walk GROUP BY id)
 SELECT cluster_id, count(*)::BIGINT AS n_members,
        array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS members
 FROM cc GROUP BY 1
+""",
+        # deterministic per-cluster downsampling: md5(doc_id) is a
+        # seedless cross-engine shuffle order
+        "cluster_capped_sample": prologue_r + sql_cc + r"""
+, ranked AS (
+  SELECT cluster_id, doc_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank
+  FROM cc
+)
+SELECT cluster_id, doc_id, sample_rank FROM ranked WHERE sample_rank <= 3
 """,
         "group_stats": prologue_r + sql_cc + r"""
 , edge_c AS (
