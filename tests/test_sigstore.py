@@ -473,3 +473,28 @@ def test_manifest_lineage_is_incremental_and_exact(spark, tmp_path):
     store.restore_previous(spark)
     assert manifest_counts() == recount()
     assert store.manifest()["row_count"] == 40
+
+
+def test_interrupted_full_write_refuses_then_rebuilds(spark, tmp_path):
+    """A crash between write_full's data swap and its manifest commit
+    leaves the manifest describing the PREVIOUS table; every operation
+    must refuse (marker present) until write_full is re-run, which
+    rebuilds cleanly."""
+    root = str(tmp_path / "store_fullcrash")
+    store = PartitionedSignatureStore(root, CFG, num_buckets=4)
+    store.write_full(_table(spark, range(20)))
+    store.upsert(_table(spark, [3], val_prefix="NEW"), None)
+
+    # simulate the crash window: marker present, manifest stale
+    with open(os.path.join(root, ".full-pending"), "w") as f:
+        f.write("crash\n")
+    with pytest.raises(RuntimeError, match="full-pending"):
+        store.read(spark)
+    with pytest.raises(RuntimeError, match="full-pending"):
+        store.upsert(_table(spark, [1], val_prefix="X"), None)
+
+    # re-running write_full supersedes the crashed one and clears the state
+    store.write_full(_table(spark, range(30), val_prefix="R"))
+    got = {(r.id, r.payload) for r in store.read(spark).collect()}
+    assert got == {(i, f"R{i}") for i in range(30)}
+    assert not os.path.exists(os.path.join(root, ".full-pending"))

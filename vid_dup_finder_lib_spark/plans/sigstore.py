@@ -116,6 +116,9 @@ class PartitionedSignatureStore:
     def _data_dir(self) -> str:
         return os.path.join(self.root, "data")
 
+    def _full_pending_path(self) -> str:
+        return os.path.join(self.root, ".full-pending")
+
     def _manifest_path(self) -> str:
         return os.path.join(self.root, _MANIFEST)
 
@@ -181,6 +184,17 @@ class PartitionedSignatureStore:
         for d in os.listdir(self.root):
             if d.startswith(".restore-trash-") or d.startswith(".tmp-"):
                 shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        if os.path.exists(self._full_pending_path()):
+            # a full write crashed between swapping data/ and committing its
+            # manifest: the manifest (row counts, generation ledger) may
+            # describe the PREVIOUS table while data/ holds the new one —
+            # undecidable without re-running the write, so refuse loudly
+            # instead of letting read_as_of mix generations
+            raise RuntimeError(
+                f"signature store at {self.root}: an interrupted full write "
+                "left the manifest out of sync with data/ (.full-pending "
+                "marker present) — re-run write_full to rebuild"
+            )
         gens_root = self._gens_root()
         if not os.path.isdir(gens_root):
             return
@@ -423,8 +437,17 @@ class PartitionedSignatureStore:
         """Initial (or forced) full write: every bucket directory is laid
         down in one partitioned write, then swapped in atomically.  The
         generation ledger is CLEARED — retained generations describe
-        bucket-level diffs against a lineage this rewrite discards."""
+        bucket-level diffs against a lineage this rewrite discards.
+
+        Crash discipline: a ``.full-pending`` marker brackets the
+        swap-through-manifest window; every other operation REFUSES while
+        it is present (an interrupted full write leaves the manifest
+        describing the previous table — undecidable without re-running),
+        and re-running write_full rebuilds from scratch."""
         t0 = time.time()
+        marker = self._full_pending_path()
+        if os.path.exists(marker):
+            os.remove(marker)  # this run supersedes the crashed one
         self._sweep_and_recover()
         spark = df.sparkSession
         tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex[:8]}")
@@ -438,18 +461,24 @@ class PartitionedSignatureStore:
             .mode("overwrite")
             .parquet(tmp)
         )
+        # marker BEFORE any destructive step, removed only after the
+        # manifest commit: a crash anywhere between leaves the store in a
+        # refuse-until-rerun state instead of a silently mixed one
+        with open(marker, "w") as f:
+            f.write("full write in progress\n")
         data = self._data_dir()
         if os.path.exists(data):
             shutil.rmtree(data)
         os.rename(tmp, data)
         # manifest first, THEN the gens sweep: the reverse order would leave
-        # a crash window where the ledger references deleted dirs (and
-        # read_as_of would silently skip them); unreferenced dirs are merely
+        # a crash window where the ledger references deleted dirs
+        # (read_as_of raises on those); unreferenced dirs are merely
         # garbage the next _sweep_and_recover collects
         self._write_manifest(
             spark, "full", list(range(self.num_buckets)), t0,
             extra={"generations": []},
         )
+        os.remove(marker)
         shutil.rmtree(self._gens_root(), ignore_errors=True)
 
     def upsert(
