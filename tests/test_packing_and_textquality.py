@@ -151,3 +151,20 @@ def test_benchmark_contamination_ground_truth(spark):
     assert got[3] == (0, False)
     assert got[4] == (0, False)
     assert got[5] == (8, True)  # 20-token doc holds 20-13+1 = 8 distinct 13-grams
+
+
+def test_benchmark_contamination_broadcast_valve(spark):
+    """The broadcast side has a fail-fast cap: an oversized benchmark
+    raises with the measured count instead of OOMing every executor."""
+    from vid_dup_finder_lib_spark.operators.decontam import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame([(1, "x " * 30)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_benchmark_ngrams"):
+        benchmark_contamination(train, bench, n=13, max_benchmark_ngrams=10)
+    # under the cap: runs fine
+    out = benchmark_contamination(train, bench, n=13, max_benchmark_ngrams=1000)
+    assert out.count() == 1

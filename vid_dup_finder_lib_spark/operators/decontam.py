@@ -45,6 +45,7 @@ def benchmark_contamination(
     n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_benchmark_ngrams: int = 50_000_000,
 ) -> DataFrame:
     """Per-training-doc contamination report: ``(id_col,
     n_contaminated_ngrams, contaminated)``.  Every training doc appears in
@@ -56,13 +57,29 @@ def benchmark_contamination(
     shingles_col; the same n-gram appearing in several benchmark docs
     counts once — the benchmark side is deduplicated before the join so
     the semi-join multiplicity cannot inflate counts).
+
+    ``max_benchmark_ngrams``: fail-fast valve on the broadcast side.  The
+    design assumes eval corpora are tiny relative to training corpora; a
+    benchmark whose distinct n-gram set exceeds the cap would OOM the
+    broadcast on every executor — RAISE (with the count) instead, and the
+    caller can shrink the benchmark or fall back to a shuffled join.  The
+    check is one aggregation over the SMALL side only.
     """
     train_ng = ngram_hashes(training, n, id_col, text_col)
     bench_ng = (
         ngram_hashes(benchmark, n, id_col, text_col)
         .select("ngram_md5")
         .distinct()
+        .localCheckpoint(eager=True)  # consumed by the count AND the join
     )
+    n_bench = bench_ng.count()
+    if n_bench > max_benchmark_ngrams:
+        raise ValueError(
+            f"benchmark_contamination: benchmark side has {n_bench} distinct "
+            f"{n}-grams (> max_benchmark_ngrams={max_benchmark_ngrams}) — too "
+            "large to broadcast; shrink the benchmark or raise the cap and "
+            "use a shuffled join"
+        )
     matched = (
         train_ng.join(F.broadcast(bench_ng), "ngram_md5")
         .groupBy("id")
