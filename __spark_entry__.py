@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # resolved by pandas_udf type hints under future-annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1367,6 +1368,90 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frozen synthetic-image contract, mirrored by tools/make_ahash_fixture.py
+# (change BOTH together): 16x16 P6, maxval 255, pixel value
+#   v(x,y,c) = (base_id*2654435761 + x*40503 + y*9719 + c*101
+#               + x*y*(31 + base_id%17) + (x*x + y*y)*(1 + base_id%13)) % 256
+# row-major (y, x, c) — the curvature terms decorrelate the aHash sign
+# pattern across images (a plain gradient family collapsed to 343
+# distinct hashes in 500; this gives 500/500).  The perturbed copy
+# (media_id = base_id + 100000) adds 80 to every channel of the 2x2 cells
+# where ((x//2)*8 + (y//2) + base_id) % 13 == 0 — planted near-duplicates
+# at Hamming 0-12, mean ~2.5.
+_PPM_W = _PPM_H = 16
+_PPM_COPY_OFFSET = 100_000
+
+
+def _make_ppm_bytes(media_id: int) -> bytes:
+    import numpy as np
+
+    base_id = media_id % _PPM_COPY_OFFSET
+    perturb = media_id >= _PPM_COPY_OFFSET
+    y, x, c = np.meshgrid(
+        np.arange(_PPM_H), np.arange(_PPM_W), np.arange(3), indexing="ij"
+    )
+    v = (
+        base_id * 2654435761
+        + x * 40503
+        + y * 9719
+        + c * 101
+        + x * y * (31 + base_id % 17)
+        + (x * x + y * y) * (1 + base_id % 13)
+    ) % 256
+    if perturb:
+        v = (v + (((x // 2) * 8 + (y // 2) + base_id) % 13 == 0) * 80) % 256
+    return b"P6\n16 16\n255\n" + v.astype(np.uint8).tobytes()
+
+
+def _derived_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base image per doc ∪ perturbed copy (media_id + 100000), as PPM
+    payloads (the multimodal binary-column shape)."""
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    both = ids.unionByName(
+        ids.select((F.col("doc_id") + _PPM_COPY_OFFSET).alias("doc_id"))
+    )
+
+    @F.pandas_udf("binary")
+    def ppm_udf(mids: pd.Series) -> pd.Series:
+        return pd.Series([_make_ppm_bytes(int(m)) for m in mids])
+
+    return both.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        ppm_udf("doc_id").alias("payload"),
+    )
+
+
+def q_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core operation on its OWN modality: perceptual-hash
+    near-dup search over decoded images (P6 decode -> 8x8 aHash ->
+    pigeonhole Hamming pairs at radius 10), over the derived media corpus
+    with planted perturbed copies.  Engine-constant-dependent (decode /
+    resize / float threshold), so the oracle is a committed fixture from
+    a Spark-free naive reimplementation (tools/make_ahash_fixture.py;
+    staleness-guarded by tests/test_ahash_oracle.py)."""
+    from vid_dup_finder_lib_spark.operators.multimodal import (
+        ahash_hamming_pairs,
+        image_ahash,
+    )
+
+    media = _derived_media(spark, sf_dir)
+    # consumed by the block keys AND both verify sides; producer is a
+    # mapInPandas decode stage — materialize once.  Cast ids to long
+    # BEFORE pairing: the pair machinery orders id1 < id2, and string ids
+    # would order lexicographically ("100274" < "274") — the fixture is
+    # numeric lo < hi.
+    hashes = (
+        image_ahash(media, size=8)
+        .select(F.col("media_id").cast("long").alias("media_id"), "ahash", "error")
+        .localCheckpoint(eager=True)
+    )
+    return ahash_hamming_pairs(hashes, radius=6).select(
+        F.col("media_id1").alias("media_id1"),
+        F.col("media_id2").alias("media_id2"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload column + typed metadata
     projection (octet length, content digest)."""
@@ -1439,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_packing": q_shard_packing,
         "benchmark_decontam": q_benchmark_decontam,
         "top_bigram_stats": q_top_bigram_stats,
+        "image_ahash_pairs": q_image_ahash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
         "substring_winnowed_pairs": q_substring_winnowed_pairs,
@@ -2004,6 +2090,14 @@ FROM rs
         "lsh_bucket_topk": r"""
 SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, neighbor_id::BIGINT AS neighbor_id
 FROM read_parquet('/root/repo/fixtures/lsh_topk_sf0.01.parquet')
+""",
+        # decode/resize/float-threshold-dependent: fixture oracle from the
+        # Spark-free naive reimplementation (tools/make_ahash_fixture.py;
+        # staleness-guarded by tests/test_ahash_oracle.py)
+        "image_ahash_pairs": r"""
+SELECT media_id1::BIGINT AS media_id1, media_id2::BIGINT AS media_id2,
+       hamming::BIGINT AS hamming
+FROM read_parquet('/root/repo/fixtures/ahash_pairs_sf0.01.parquet')
 """,
         # k-means-dependent result, fixture-oracle-able since the round-3
         # fixed-point determinism rewrite (tools/make_ivf_fixture.py;

@@ -306,3 +306,62 @@ def image_thumbnails(media: DataFrame, size: int = 16) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=THUMBNAIL_SCHEMA)
+
+
+def image_ahash(media: DataFrame, size: int = 8) -> DataFrame:
+    """Perceptual average-hash over decoded images — the reference's
+    CORE operation (a 3D-DCT perceptual hash per video,
+    video_hash_builder.rs) re-expressed over the multimodal binary column
+    for single images: decode -> ``size``×``size`` gray thumbnail ->
+    1 bit per pixel (above the image mean), packed into a 64-bit long.
+
+    Bit packing contract (mirrored by tools/make_ahash_fixture.py): fold
+    the thumbnail row-major, ``acc*2 + (pixel > mean)`` — pixel (0,0)
+    lands in the most significant of the ``size*size`` used bits; 64-bit
+    signed wraparound applies at size 8 (identical in both engines).
+
+    Only the decode/resize runs in Python (mapInPandas via
+    image_thumbnails); the mean, threshold, and packing are pure codegen
+    over the thumb array.  Decode failures stay error VALUES (null hash).
+    """
+    n = size * size
+    if n > 64:
+        raise ValueError(f"image_ahash: size*size must fit 64 bits, got {n}")
+    th = image_thumbnails(media, size=size)
+    total = F.aggregate("thumb", F.lit(0.0), lambda a, x: a + x)
+    mean = total / F.lit(float(n))
+    idx = F.sequence(F.lit(1), F.lit(n))  # element_at is 1-based
+    packed = F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        # shiftleft, not acc*2: the multiply overflow-checks under ANSI
+        # mode when bit 63 arrives; the shift wraps bitwise (the fixture's
+        # mask-to-64-bits semantics).  The +bit can never overflow: a
+        # shifted value always has LSB 0.
+        lambda acc, i: F.shiftleft(acc, 1)
+        + F.when(F.element_at(F.col("thumb"), i) > mean, 1).otherwise(0),
+    )
+    return th.select(
+        "media_id",
+        F.when(F.col("error").isNull(), packed).alias("ahash"),
+        "error",
+    )
+
+
+def ahash_hamming_pairs(hashes: DataFrame, radius: int) -> DataFrame:
+    """All image pairs with aHash Hamming distance <= radius — the
+    reference's tolerance search re-expressed for still images.  Reuses
+    the pigeonhole block-key machinery (dedup.simhash_band_keys): split
+    64 bits into radius+1 blocks; any pair within radius shares an exact
+    block, so candidates come from an equi-join, verified with
+    bit_count.  Null hashes (decode errors) never pair."""
+    from vid_dup_finder_lib_spark.operators.dedup import simhash_hamming_pairs
+
+    sig = hashes.select(
+        F.col("media_id").alias("id"), F.col("ahash").alias("simhash")
+    )
+    return simhash_hamming_pairs(sig, radius).select(
+        F.col("id1").alias("media_id1"),
+        F.col("id2").alias("media_id2"),
+        F.col("simhash_hamming").alias("hamming"),
+    )
