@@ -120,6 +120,8 @@ def main() -> None:
         "contamination_scan",
         "shard_packing",
         "benchmark_decontam",
+        "top_bigram_stats",
+        "image_ahash_pairs",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}
