@@ -1452,6 +1452,80 @@ def q_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frozen synthetic-audio contract, mirrored by tools/make_audio_fp_fixture
+# .py (change BOTH together): 16-bit PCM mono @8000 Hz, 2048 samples,
+#   s(t) = (((base_id*131 + t*(7+base_id%11) + (t*t%251)*17) % 4096) - 2048)
+#          * (1 + (base_id*7 + (t//128)*(3+base_id%5)) % 9)
+#          + 800*((base_id*13 + t//32) % 5)
+# (per-frame gain + per-block DC offset: distinct |amplitude| envelopes —
+# 500/500 distinct fingerprints where a flat family collapsed to 83);
+# the perturbed copy (media_id + 100000) adds 1500 where
+# (t//32 + base_id*3) % 23 == 0 — planted near-dups at Hamming 0-3.
+def _make_wav_bytes(media_id: int) -> bytes:
+    import io
+    import wave
+
+    import numpy as np
+
+    base_id = media_id % _PPM_COPY_OFFSET
+    perturb = media_id >= _PPM_COPY_OFFSET
+    t = np.arange(2048, dtype=np.int64)
+    core = ((base_id * 131 + t * (7 + base_id % 11) + (t * t % 251) * 17) % 4096) - 2048
+    gain = 1 + (base_id * 7 + (t // 128) * (3 + base_id % 5)) % 9
+    s = core * gain + 800 * ((base_id * 13 + t // 32) % 5)
+    if perturb:
+        s = s + 1500 * (((t // 32) + base_id * 3) % 23 == 0)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(s.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _derived_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base WAV per doc ∪ perturbed copy (media_id + 100000)."""
+    ids = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    both = ids.unionByName(
+        ids.select((F.col("doc_id") + _PPM_COPY_OFFSET).alias("doc_id"))
+    )
+
+    @F.pandas_udf("binary")
+    def wav_udf(mids: pd.Series) -> pd.Series:
+        return pd.Series([_make_wav_bytes(int(m)) for m in mids])
+
+    return both.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        wav_udf("doc_id").alias("payload"),
+    )
+
+
+def q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temporal-modality twin of q_image_ahash_pairs: delta-sign audio
+    fingerprints over REAL WAV decode (stdlib PCM -> 16x32 mean-pooled
+    |amplitude| features -> 64 strided-comparison bits spanning the whole
+    clip) -> pigeonhole Hamming pairs at radius 3, over the derived audio
+    corpus with planted perturbed copies.  Fixture-oracled
+    (tools/make_audio_fp_fixture.py; tests/test_ahash_oracle.py)."""
+    from vid_dup_finder_lib_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fp_hamming_pairs,
+    )
+
+    media = _derived_audio(spark, sf_dir)
+    fps = (
+        audio_fingerprint(media, n_frames=16, feature_dim=32)
+        .select(F.col("media_id").cast("long").alias("media_id"), "audio_fp", "error")
+        .localCheckpoint(eager=True)
+    )
+    return audio_fp_hamming_pairs(fps, radius=3).select(
+        F.col("media_id1").alias("media_id1"),
+        F.col("media_id2").alias("media_id2"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload column + typed metadata
     projection (octet length, content digest)."""
@@ -1525,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_decontam": q_benchmark_decontam,
         "top_bigram_stats": q_top_bigram_stats,
         "image_ahash_pairs": q_image_ahash_pairs,
+        "audio_fp_pairs": q_audio_fp_pairs,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
         "substring_winnowed_pairs": q_substring_winnowed_pairs,
@@ -2098,6 +2173,11 @@ FROM read_parquet('/root/repo/fixtures/lsh_topk_sf0.01.parquet')
 SELECT media_id1::BIGINT AS media_id1, media_id2::BIGINT AS media_id2,
        hamming::BIGINT AS hamming
 FROM read_parquet('/root/repo/fixtures/ahash_pairs_sf0.01.parquet')
+""",
+        "audio_fp_pairs": r"""
+SELECT media_id1::BIGINT AS media_id1, media_id2::BIGINT AS media_id2,
+       hamming::BIGINT AS hamming
+FROM read_parquet('/root/repo/fixtures/audio_fp_pairs_sf0.01.parquet')
 """,
         # k-means-dependent result, fixture-oracle-able since the round-3
         # fixed-point determinism rewrite (tools/make_ivf_fixture.py;

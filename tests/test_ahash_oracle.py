@@ -44,3 +44,33 @@ def test_spark_matches_independent_reimplementation(spark):
     planted = sum(1 for (a, b) in exp if b - a == COPY_OFFSET)
     assert planted / len(exp) > 0.9
     assert len(exp) > 100
+
+
+def test_audio_fixture_not_stale():
+    from tools.make_audio_fp_fixture import expected_pairs
+
+    for sf_dir in (SF_SMALL, "/root/testdata/sf0.01"):
+        name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        path = f"/root/repo/fixtures/audio_fp_pairs_{name}.parquet"
+        assert os.path.exists(path), f"fixture missing: {path} (run tools/make_audio_fp_fixture.py)"
+        committed = pd.read_parquet(path)
+        fresh = expected_pairs(sf_dir)
+        pd.testing.assert_frame_equal(committed, fresh)
+
+
+def test_audio_spark_matches_independent_reimplementation(spark):
+    import __spark_entry__ as entry
+    from tools.make_audio_fp_fixture import COPY_OFFSET, expected_pairs
+
+    got = {
+        (r.media_id1, r.media_id2): r.hamming
+        for r in entry.q_audio_fp_pairs(spark, SF_SMALL).collect()
+    }
+    exp = {
+        (int(r.media_id1), int(r.media_id2)): int(r.hamming)
+        for r in expected_pairs(SF_SMALL).itertuples(index=False)
+    }
+    assert got == exp
+    planted = sum(1 for (a, b) in exp if b - a == COPY_OFFSET)
+    assert planted / len(exp) > 0.9
+    assert len(exp) > 100

@@ -365,3 +365,71 @@ def ahash_hamming_pairs(hashes: DataFrame, radius: int) -> DataFrame:
         F.col("id2").alias("media_id2"),
         F.col("simhash_hamming").alias("hamming"),
     )
+
+
+def audio_fingerprint(
+    media: DataFrame, n_frames: int = 16, feature_dim: int = 32
+) -> DataFrame:
+    """Delta-sign audio fingerprint — the temporal-modality analog of
+    ``image_ahash`` (Chromaprint/landmark-style sign-of-energy-delta
+    coding, public knowledge): WAV payloads decode to ``n_frames`` ×
+    ``feature_dim`` mean-pooled |amplitude| features (RealDecoder); with
+    ``L = n_frames*feature_dim`` and ``stride = L // 64``, bit i compares
+    the flattened stream at stride boundaries — ``v[stride*i] >
+    v[(stride*i + stride) % L]`` (next block, wrapping) — so all 64 bits
+    span the WHOLE clip, not its first frames; packed MSB-first into a
+    64-bit long via the same wrapping shiftleft fold as image_ahash
+    (mirrored by tools/make_audio_fp_fixture.py — change BOTH together).
+
+    Decode runs in mapInPandas (extract_frame_features); ordering, deltas,
+    and packing are pure codegen.  Decode failures stay error VALUES
+    (null fingerprint)."""
+    if n_frames * feature_dim < 65:
+        raise ValueError("audio_fingerprint needs at least 65 feature values")
+    ff = extract_frame_features(
+        media, decoder="real", n_frames=n_frames, feature_dim=feature_dim
+    )
+    ok = ff.where(F.col("error").isNull())
+    errs = (
+        ff.where(F.col("error").isNotNull())
+        .select("media_id", F.lit(None).cast("long").alias("audio_fp"), "error")
+        .distinct()
+    )
+    flat = ok.groupBy("media_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("frame_idx", "feature"))),
+                lambda s: s["feature"],
+            )
+        ).alias("v")
+    )
+    L = n_frames * feature_dim
+    stride = L // 64
+    idx = F.sequence(F.lit(0), F.lit(63))
+    packed = F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        # element_at is 1-based; the wrap keeps every bit in-range
+        lambda acc, i: F.shiftleft(acc, 1)
+        + F.when(
+            F.element_at(F.col("v"), i * stride + 1)
+            > F.element_at(F.col("v"), (i * stride + stride) % L + 1),
+            1,
+        ).otherwise(0),
+    )
+    return flat.select(
+        "media_id", packed.alias("audio_fp"), F.lit(None).cast("string").alias("error")
+    ).unionByName(errs)
+
+
+def audio_fp_hamming_pairs(fps: DataFrame, radius: int) -> DataFrame:
+    """All audio pairs with fingerprint Hamming distance <= radius — the
+    same pigeonhole block-join machinery as ahash_hamming_pairs."""
+    from vid_dup_finder_lib_spark.operators.dedup import simhash_hamming_pairs
+
+    sig = fps.select(F.col("media_id").alias("id"), F.col("audio_fp").alias("simhash"))
+    return simhash_hamming_pairs(sig, radius).select(
+        F.col("id1").alias("media_id1"),
+        F.col("id2").alias("media_id2"),
+        F.col("simhash_hamming").alias("hamming"),
+    )
