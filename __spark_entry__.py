@@ -1096,6 +1096,97 @@ def q_streamed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streamed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful exact-dedup made oracle-visible (the third
+    streaming output under the gate, after rollup/sessions): RUNS the
+    ``applyInPandasWithState`` first-seen-wins dedup (streaming/dedup.py)
+    over the derived exact-dup corpus (base ∪ verbatim +200000 copies)
+    written to a scratch source dir, and returns the emitted survivors.
+
+    Determinism: the source is written as <= 8 files and
+    ``maxFilesPerTrigger`` is 64, so availableNow processes everything in
+    ONE batch — the survivor is then the global lexicographic-min id per
+    content hash and ``n_dups_in_batch`` the full class size, both
+    order-independent, so a plain GROUP BY oracle reproduces the stream's
+    output exactly."""
+    from vid_dup_finder_lib_spark.streaming.dedup import stream_exact_dedup
+
+    work = _stream_workdir("streamed_dedup_")
+    derived = _derived_exact(_docs(spark, sf_dir, widen=False))
+    derived.coalesce(8).write.parquet(f"{work}/src")
+    stream_exact_dedup(
+        spark,
+        f"{work}/src",
+        f"{work}/out",
+        f"{work}/ckpt",
+        schema="doc_id long, text string",
+        id_col="doc_id",
+        text_col="text",
+        available_now=True,
+    )
+    return spark.read.parquet(f"{work}/out").select(
+        "content_hash", "id", "n_dups_in_batch"
+    )
+
+
+def q_repeated_line_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level frequent-line removal (CCNet-style duplicated-paragraph
+    strip, operators/boilerplate.strip_frequent_lines): docs are re-lined
+    into 8-token chunks and lines whose corpus document frequency reaches 3
+    are stripped ANYWHERE in the doc.  Planted ground truth: docs with
+    doc_id % 4 == 0 gain a shared nav-bar line, % 9 == 0 a shared footer
+    line (df 125 / 56 at the 500-doc fixture — both far over threshold);
+    the surviving content is oracle-checked via kept_md5, not just
+    counts."""
+    from vid_dup_finder_lib_spark.functions.textstats import token_lines
+    from vid_dup_finder_lib_spark.operators.boilerplate import strip_frequent_lines
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("long")
+    empty = F.array().cast("array<string>")
+    lined = docs.select(
+        d.alias("doc_id"),
+        F.concat(
+            token_lines(F.col("text"), 8),
+            F.when(d % 4 == 0, F.array(F.lit(_NAV_LINE))).otherwise(empty),
+            F.when(d % 9 == 0, F.array(F.lit(_FOOTER_LINE))).otherwise(empty),
+        ).alias("lines"),
+    )
+    return strip_frequent_lines(lined, min_df=3)
+
+
+_NAV_LINE = "subscribe to our newsletter follow us on twitter"
+_FOOTER_LINE = "all rights reserved terms of use privacy policy"
+
+
+def q_domain_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain exact-duplicate share (operators/dedup.dup_share_by_key):
+    the mirror-site / spam-domain drop signal.  Planted ground truth: every
+    5th doc is copied verbatim under a synthetic 'mirror' source, so the
+    mirror domain is 100 % duplicates (flagged at the >1/2 share) while the
+    organic sources sit at ~20 %.  widen=False: pure-JVM sha2 + groupBy —
+    the aggregation's own shuffle redistributes (the exact_dup_groups
+    rule)."""
+    from vid_dup_finder_lib_spark.operators.dedup import dup_share_by_key
+
+    docs = _docs(spark, sf_dir, widen=False).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "text"
+    )
+    mirror = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+    )
+    return dup_share_by_key(
+        docs.unionByName(mirror),
+        key_col="source",
+        id_col="doc_id",
+        text_col="text",
+        flag_num=1,
+        flag_den=2,
+    )
+
+
 def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-crawl preprocessing: URL canonicalization + revisit collapse.
     Messy URL spellings (case, default ports, slash runs, fragments,
@@ -1593,6 +1684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_rollup": q_event_window_rollup,
         "streamed_event_rollup": q_streamed_event_rollup,
         "streamed_sessions": q_streamed_sessions,
+        "streamed_dedup": q_streamed_dedup,
+        "repeated_line_strip": q_repeated_line_strip,
+        "domain_dup_stats": q_domain_dup_stats,
         "gopher_repetition": q_gopher_repetition,
         "contamination_scan": q_contamination_scan,
         "shard_packing": q_shard_packing,
@@ -2002,6 +2096,99 @@ summ AS (
 )
 SELECT user_id, start_us, end_us, n_events
 FROM summ, wm WHERE end_us + 1800000000 <= w
+""",
+        # the STREAMING stateful dedup's single-batch output in SQL: the
+        # derived exact corpus processed in one availableNow batch means
+        # survivor = global min string id, n_dups_in_batch = class size
+        "streamed_dedup": r"""
+WITH norm AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN []::VARCHAR[] ELSE string_split(norm, ' ') END AS toks
+  FROM norm
+),
+derived AS (
+  SELECT doc_id, toks FROM tok
+  UNION ALL
+  SELECT doc_id + 200000, toks FROM tok
+),
+txt AS (SELECT doc_id, array_to_string(toks, ' ') AS text FROM derived)
+SELECT sha256(text) AS content_hash,
+       min(doc_id::VARCHAR) AS id,
+       count(*)::BIGINT AS n_dups_in_batch
+FROM txt GROUP BY 1
+""",
+        # corpus-level frequent-line strip: planted nav/footer lines reach
+        # df 125/56 >= 3 and are removed anywhere in the doc; list_filter
+        # preserves original line order, matching the pos-sorted reassembly
+        "repeated_line_strip": r"""
+WITH norm AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN []::VARCHAR[] ELSE string_split(norm, ' ') END AS toks
+  FROM norm
+),
+lines0 AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[] ELSE
+      list_transform(range(0, (len(toks) + 7) // 8),
+                     i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' '))
+    END AS lines
+  FROM tok
+),
+planted AS (
+  SELECT doc_id,
+    lines ||
+    (CASE WHEN doc_id % 4 = 0
+          THEN ['subscribe to our newsletter follow us on twitter']
+          ELSE []::VARCHAR[] END) ||
+    (CASE WHEN doc_id % 9 = 0
+          THEN ['all rights reserved terms of use privacy policy']
+          ELSE []::VARCHAR[] END) AS lines
+  FROM lines0
+),
+ex AS (SELECT doc_id, unnest(lines) AS line FROM planted),
+freq AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1
+  ) WHERE df >= 3
+),
+freqlist AS (SELECT coalesce(list(line), []::VARCHAR[]) AS fl FROM freq),
+kept AS (
+  SELECT p.doc_id, len(p.lines)::BIGINT AS n_lines,
+         list_filter(p.lines, l -> NOT list_contains(f.fl, l)) AS kept_lines
+  FROM planted p, freqlist f
+)
+SELECT doc_id, n_lines,
+       len(kept_lines)::BIGINT AS n_kept,
+       md5(array_to_string(kept_lines, chr(10))) AS kept_md5
+FROM kept
+""",
+        # per-domain exact-dup share with a planted mirror source (every
+        # 5th doc copied verbatim): mirror = 100 % dups -> flagged at >1/2
+        "domain_dup_stats": r"""
+WITH corpus AS (
+  SELECT doc_id::BIGINT AS doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, 'mirror', text FROM documents WHERE doc_id % 5 = 0
+),
+hashed AS (SELECT source, doc_id, sha256(text) AS h FROM corpus),
+cls AS (
+  SELECT h FROM hashed WHERE h IS NOT NULL GROUP BY h HAVING count(*) >= 2
+)
+SELECT source,
+  count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN h IN (SELECT h FROM cls) THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+  (sum(CASE WHEN h IN (SELECT h FROM cls) THEN 1 ELSE 0 END) * 2 > count(*)) AS dup_flag
+FROM hashed GROUP BY source
 """,
         # Gopher-style repetition gate over the deterministically re-lined
         # corpus (8-token chunks, planted first-line repeat at doc_id%3==0)

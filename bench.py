@@ -122,6 +122,10 @@ def main() -> None:
         "benchmark_decontam",
         "top_bigram_stats",
         "image_ahash_pairs",
+        "audio_fp_pairs",
+        "repeated_line_strip",
+        "domain_dup_stats",
+        "streamed_dedup",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}

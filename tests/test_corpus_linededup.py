@@ -1,0 +1,137 @@
+"""Corpus-level frequent-line strip + per-key dup share: semantics the
+oracle gate can't see (valves, distinct-by-doc df, partitioning
+invariance, flag boundaries)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vid_dup_finder_lib_spark.operators.boilerplate import (
+    FrequentLineSetTooLarge,
+    strip_frequent_lines,
+)
+from vid_dup_finder_lib_spark.operators.dedup import dup_share_by_key
+
+MD5_EMPTY = "d41d8cd98f00b204e9800998ecf8427e"
+
+
+def _lined(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lines array<string>")
+
+
+@pytest.fixture(scope="module")
+def lined(spark):
+    # "shared" appears in 3 docs (df=3 -> stripped at min_df=3);
+    # "twice twice" repeats WITHIN doc 4 only (df=1 -> kept: df counts
+    # distinct docs, not occurrences); "rare" df=2 -> kept
+    return _lined(
+        spark,
+        [
+            (1, ["alpha one", "shared", "beta one"]),
+            (2, ["shared", "gamma two"]),
+            (3, ["delta three", "shared"]),
+            (4, ["twice twice", "twice twice", "rare"]),
+            (5, ["rare", "epsilon five"]),
+            (6, []),
+        ],
+    )
+
+
+def test_strip_semantics(spark, lined):
+    out = {
+        r["doc_id"]: r
+        for r in strip_frequent_lines(lined, min_df=3).collect()
+    }
+    assert len(out) == 6
+    # df=3 line stripped everywhere, interior or edge
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+    assert out[2]["n_kept"] == 1
+    assert out[3]["n_kept"] == 1
+    # within-doc repetition does not reach df: all lines kept
+    assert out[4]["n_kept"] == 3
+    assert out[5]["n_kept"] == 2
+    # empty docs keep the empty-string hash
+    assert out[6]["n_lines"] == 0
+    assert out[6]["n_kept"] == 0
+    assert out[6]["kept_md5"] == MD5_EMPTY
+    # kept_md5 preserves original order (join by \n)
+    import hashlib
+
+    assert (
+        out[1]["kept_md5"]
+        == hashlib.md5(b"alpha one\nbeta one").hexdigest()
+    )
+
+
+def test_strip_all_frequent_doc(spark):
+    # a doc made entirely of frequent lines survives with the empty hash
+    lined = _lined(
+        spark,
+        [(1, ["bp"]), (2, ["bp"]), (3, ["bp"]), (4, ["bp", "own line"])],
+    )
+    out = {r["doc_id"]: r for r in strip_frequent_lines(lined, min_df=3).collect()}
+    assert out[1]["n_kept"] == 0 and out[1]["kept_md5"] == MD5_EMPTY
+    assert out[4]["n_kept"] == 1
+
+
+def test_strip_valve_and_min_df(spark, lined):
+    with pytest.raises(ValueError, match="min_df"):
+        strip_frequent_lines(lined, min_df=1)
+    with pytest.raises(FrequentLineSetTooLarge, match="valve"):
+        strip_frequent_lines(lined, min_df=2, max_frequent_lines=0)
+
+
+def test_strip_partitioning_invariance(spark, lined):
+    a = sorted(
+        strip_frequent_lines(lined.repartition(1), min_df=3).collect()
+    )
+    b = sorted(
+        strip_frequent_lines(lined.repartition(16), min_df=3).collect()
+    )
+    assert a == b
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_dup_share_flag_boundary_and_nulls(spark):
+    docs = _docs(
+        spark,
+        [
+            # site a: 2 of 4 docs are dups -> share exactly 1/2, strict > -> NOT flagged
+            (1, "a", "dup text"),
+            (2, "a", "dup text"),
+            (3, "a", "unique one"),
+            (4, "a", "unique two"),
+            # site b: 2 of 3 -> flagged
+            (5, "b", "other dup"),
+            (6, "b", "other dup"),
+            (7, "b", "unique three"),
+            # site c: null texts are never duplicates of each other
+            (8, "c", None),
+            (9, "c", None),
+        ],
+    )
+    out = {r["source"]: r for r in dup_share_by_key(docs).collect()}
+    assert out["a"]["n_docs"] == 4 and out["a"]["n_dup_docs"] == 2
+    assert out["a"]["dup_flag"] is False
+    assert out["b"]["n_dup_docs"] == 2 and out["b"]["dup_flag"] is True
+    assert out["c"]["n_docs"] == 2 and out["c"]["n_dup_docs"] == 0
+    assert out["c"]["dup_flag"] is False
+
+
+def test_dup_share_cross_key_classes(spark):
+    # dup classes span keys: the mirror pattern — every mirror doc
+    # duplicates an organic one, so BOTH sides count as dups
+    docs = _docs(
+        spark,
+        [
+            (1, "org", "page one"),
+            (2, "org", "page two"),
+            (3, "mirror", "page one"),
+            (4, "mirror", "page two"),
+        ],
+    )
+    out = {r["source"]: r for r in dup_share_by_key(docs).collect()}
+    assert out["org"]["n_dup_docs"] == 2 and out["org"]["dup_flag"] is True
+    assert out["mirror"]["n_dup_docs"] == 2 and out["mirror"]["dup_flag"] is True

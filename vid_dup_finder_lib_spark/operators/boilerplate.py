@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["boilerplate_lines", "strip_boilerplate"]
+__all__ = ["boilerplate_lines", "strip_boilerplate", "strip_frequent_lines"]
 
 
 def _doc_lines(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -164,3 +164,96 @@ def strip_boilerplate(
         )
     )
     return out.unionByName(null_docs)
+
+
+class FrequentLineSetTooLarge(ValueError):
+    """The corpus-frequent line set exceeds the broadcast valve."""
+
+
+def strip_frequent_lines(
+    lined: DataFrame,
+    min_df: int = 3,
+    max_frequent_lines: int = 5_000_000,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+) -> DataFrame:
+    """Corpus-level frequent-line removal — the CCNet-style complement of
+    :func:`strip_boilerplate` (Wenzek et al. 2019 drop duplicated
+    *paragraphs* corpus-wide; public knowledge).  Where ``strip_boilerplate``
+    crops only document *edges* against a fractional-df threshold (the
+    letterbox semantics of the reference, ``video_frames_gray.rs:201-210``),
+    this strips lines ANYWHERE in the document whose corpus document
+    frequency reaches the absolute ``min_df`` — the shared-nav-bar /
+    cookie-banner signal that survives in the middle of extracted web text.
+
+    Input: ``(id, lines: array<string>)`` (e.g. ``textstats.token_lines``
+    re-lining).  Output per input row::
+
+        (id, n_lines, n_kept, kept_md5)
+
+    where ``kept_md5`` is the md5 of the surviving lines joined by ``\\n``
+    in original order (the downstream exact-dedup key), so the *content* of
+    the strip is oracle-checkable, not just the counts.
+
+    Scale shape (100 TB):
+
+    * document frequency is computed skew-safe in two hops — a distinct on
+      ``(line, id)`` first (spreads a line shared by 10^9 docs across
+      reducers) then a map-side-combinable count per line;
+    * the frequent set (df >= min_df) is tiny relative to the corpus and is
+      BROADCAST into a left-anti hash join — the full line stream never
+      shuffles for the strip itself.  ``max_frequent_lines`` is the
+      fail-fast valve on that broadcast (counted on the driver as a scalar,
+      never collected): an unexpectedly generic threshold raises
+      :class:`FrequentLineSetTooLarge` with the measured count instead of
+      OOMing executors;
+    * reassembly groups on the doc id — the same key the signature stage
+      consumes next.
+    """
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2 (got {min_df}): df=1 strips every line")
+    spine = lined.select(
+        F.col(id_col).alias("id"), F.size(lines_col).cast("long").alias("n_lines")
+    )
+    exploded = lined.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(lines_col)).alias("pos", "line"),
+    )
+    frequent = (
+        exploded.select("line", "id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= F.lit(min_df))
+        .select("line")
+    )
+    n_frequent = frequent.count()
+    if n_frequent > max_frequent_lines:
+        raise FrequentLineSetTooLarge(
+            f"{n_frequent} corpus-frequent lines at min_df={min_df} exceeds the "
+            f"broadcast valve ({max_frequent_lines}); raise min_df or the valve"
+        )
+    kept = (
+        exploded.join(F.broadcast(frequent), "line", "left_anti")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("kept_md5"),
+        )
+    )
+    # docs whose every line was frequent (or that had no lines) fall out of
+    # the anti-join — restore them from the spine with the empty-text hash
+    return spine.join(kept, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+    )
