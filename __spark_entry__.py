@@ -682,6 +682,41 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/ann.semantic_dedup):
+    k-means clusters + per-cluster greedy cosine prune at 0.92, ascending-id
+    survivor rule.  Derived corpus: every vec_id % 3 == 0 gains a planted
+    near-dup copy (+100000, every 8th component × 1.01 in float64 — cosine
+    ≈ 0.9997 to its base vs ≤ 0.42 organic), so ground truth is exactly the
+    167 planted copies pruned, each with dup_of = its base.  Fixture oracle
+    from the Spark-free naive twin (tools/make_semantic_fixture.py; shared
+    frozen spec with the IVF k-means)."""
+    from vid_dup_finder_lib_spark.operators.ann import semantic_dedup
+
+    emb = _embeddings(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    pert = emb.where(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i % 8 == 0, x * F.lit(1.01)).otherwise(x),
+        ).alias("embedding"),
+    )
+    # materialized: k-means iterates over the corpus n_iter times — without
+    # this the union+transform lineage re-executes per iteration
+    corpus = emb.unionByName(pert).localCheckpoint(eager=True)
+    return semantic_dedup(
+        corpus,
+        dim=64,
+        sim_threshold=0.92,
+        n_centroids=16,
+        n_iter=10,
+        seed=42,
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-radius dedup (pigeonhole candidates + bit_count
     verify).  The result is hash-function-dependent, so the oracle reads a
@@ -1694,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigram_stats": q_top_bigram_stats,
         "image_ahash_pairs": q_image_ahash_pairs,
         "audio_fp_pairs": q_audio_fp_pairs,
+        "semantic_dedup": q_semantic_dedup,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
         "substring_winnowed_pairs": q_substring_winnowed_pairs,
@@ -2373,6 +2409,14 @@ FROM read_parquet('/root/repo/fixtures/audio_fp_pairs_sf0.01.parquet')
         "ivf_topk": r"""
 SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, neighbor_id::BIGINT AS neighbor_id
 FROM read_parquet('/root/repo/fixtures/ivf_topk_sf0.01.parquet')
+""",
+        # SemDeDup greedy prune is order-sequential per cluster: fixture
+        # oracle from the Spark-free naive twin (make_semantic_fixture.py;
+        # staleness-guarded by tests/test_semantic_oracle.py)
+        "semantic_dedup": r"""
+SELECT vec_id::BIGINT AS vec_id, cluster_id::INTEGER AS cluster_id,
+       kept::BOOLEAN AS kept, dup_of::BIGINT AS dup_of
+FROM read_parquet('/root/repo/fixtures/semantic_dedup_sf0.01.parquet')
 """,
         # winnow keeps the MIN 64-bit window hash per W-window, so the kept
         # subset is hash-order-dependent: fixture oracle from the Spark-free

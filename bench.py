@@ -123,6 +123,7 @@ def main() -> None:
         "top_bigram_stats",
         "image_ahash_pairs",
         "audio_fp_pairs",
+        "semantic_dedup",
         "repeated_line_strip",
         "domain_dup_stats",
         "streamed_dedup",

@@ -88,29 +88,36 @@ def _probes(v, centroids, nprobe):
     return order[:nprobe]
 
 
-def expected_topk(sf_dir: str) -> pd.DataFrame:
-    tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = [int(v) for v in tab.column("vec_id").to_pylist()]
-    vecs = [np.asarray(v, dtype=np.float64) for v in tab.column("embedding").to_pylist()]
-
-    # init: N_CENTROIDS smallest (signed splitmix64(id ^ seed), id)
+def naive_kmeans(
+    ids: list[int],
+    vecs: list[np.ndarray],
+    n_centroids: int = N_CENTROIDS,
+    n_iter: int = N_ITER,
+    seed: int = SEED,
+    dim: int = DIM,
+) -> np.ndarray:
+    """The Spark-free k-means twin of operators/ann.kmeans_centroids
+    (shared spec: splitmix64 init order, fixed-point int64 sums,
+    allclose(atol=1e-9) convergence).  Also consumed by
+    make_semantic_fixture.py."""
+    # init: n_centroids smallest (signed splitmix64(id ^ seed), id)
     ranked = sorted(
-        range(len(ids)), key=lambda i: (_signed(splitmix64_py(ids[i] ^ SEED)), ids[i])
+        range(len(ids)), key=lambda i: (_signed(splitmix64_py(ids[i] ^ seed)), ids[i])
     )
-    centroids = np.vstack([vecs[i] for i in ranked[:N_CENTROIDS]]).astype(np.float64)
+    centroids = np.vstack([vecs[i] for i in ranked[:n_centroids]]).astype(np.float64)
 
-    for _ in range(N_ITER):
+    for _ in range(n_iter):
         assign = _assign(vecs, centroids)
-        sums = [[0] * DIM for _ in range(N_CENTROIDS)]
-        counts = [0] * N_CENTROIDS
+        sums = [[0] * dim for _ in range(n_centroids)]
+        counts = [0] * n_centroids
         for v, j in zip(vecs, assign):
             q = np.round(v * SCALE).astype(np.int64)
             counts[j] += 1
             row = sums[j]
-            for i in range(DIM):
+            for i in range(dim):
                 row[i] += int(q[i])
         new_centroids = centroids.copy()
-        for j in range(N_CENTROIDS):
+        for j in range(n_centroids):
             if counts[j] > 0:
                 denom = float(counts[j] * SCALE)
                 new_centroids[j] = np.asarray([s / denom for s in sums[j]], dtype=np.float64)
@@ -118,6 +125,15 @@ def expected_topk(sf_dir: str) -> pd.DataFrame:
             centroids = new_centroids
             break
         centroids = new_centroids
+    return centroids
+
+
+def expected_topk(sf_dir: str) -> pd.DataFrame:
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = [int(v) for v in tab.column("vec_id").to_pylist()]
+    vecs = [np.asarray(v, dtype=np.float64) for v in tab.column("embedding").to_pylist()]
+
+    centroids = naive_kmeans(ids, vecs)
 
     # inverted file (nprobe=1) + query-side probes
     file_side = defaultdict(list)

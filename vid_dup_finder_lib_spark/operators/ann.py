@@ -471,6 +471,100 @@ def ivf_topk(
     )
 
 
+class SemanticClusterTooLarge(ValueError):
+    """A k-means cluster exceeds the per-cluster pairwise-prune valve."""
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    sim_threshold: float = 0.9,
+    n_centroids: int = 16,
+    n_iter: int = 10,
+    seed: int = 42,
+    max_cluster_size: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 — public
+    knowledge): k-means-cluster the embedding corpus, then WITHIN each
+    cluster greedily prune vectors whose cosine similarity to an
+    already-kept vector exceeds ``sim_threshold``, scanning in ascending id
+    order (the reference's deterministic sort-order survivor rule,
+    search_algorithm.rs:56-61, applied in semantic space).
+
+    Output: ``(id_col, cluster_id, kept, dup_of)`` — ``dup_of`` is the
+    lowest-id KEPT vector that pruned this one (null on kept rows), so the
+    prune lineage is itself exact-checkable.
+
+    Determinism + scale contract:
+
+    * centroids come from :func:`kmeans_centroids` (fixed-point int64
+      accumulation, splitmix64 init — partitioning-independent) and every
+      similarity is quantized to ``_SIM_QUANT`` before comparison, so the
+      engine's batched gemv and the fixture oracle's per-pair ``np.dot``
+      (tools/make_semantic_fixture.py) provably agree;
+    * the greedy prune is inherently sequential per cluster, but clusters
+      are independent: ``applyInPandas`` ships each cluster to one task.
+      That is exactly the published SemDeDup recipe — n_centroids is sized
+      so each cluster fits one worker (at 10^12 docs: tens of thousands of
+      centroids, clusters of ~10^7).  The O(|cluster|²·dim) worst case is
+      valve-guarded: cluster sizes are checked on the driver (an
+      n_centroids-row aggregate, never a data collect) and any cluster over
+      ``max_cluster_size`` raises :class:`SemanticClusterTooLarge` with the
+      measured sizes before any quadratic work starts;
+    * prune rule: vector *i* is pruned iff some kept *j < i* has quantized
+      cosine STRICTLY above the quantized threshold.
+    """
+    thr_q = int(round(sim_threshold * _SIM_QUANT))
+    centroids = kmeans_centroids(
+        corpus, n_centroids, dim, n_iter, seed, id_col, vec_col
+    )
+    assign = ivf_assign(corpus, centroids, 1, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    sizes = assign.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    over = {r["centroid_id"]: r["n"] for r in sizes if r["n"] > max_cluster_size}
+    if over:
+        raise SemanticClusterTooLarge(
+            f"clusters over the {max_cluster_size}-row pairwise-prune valve: "
+            f"{over}; raise n_centroids (smaller clusters) or the valve"
+        )
+
+    joined = assign.join(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"
+    )
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        v = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        kept_idx: list[int] = []
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for i in range(n):
+            if kept_idx:
+                sims = _quantize_sims(vn[kept_idx] @ vn[i])
+                hits = np.nonzero(sims > thr_q)[0]
+                if hits.size:
+                    # kept_idx ascends by id: hits[0] is the lowest-id pruner
+                    dup_of[i] = int(pdf["id"].iloc[kept_idx[int(hits[0])]])
+                    continue
+            kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                id_col: pdf["id"].astype("int64"),
+                "cluster_id": pdf["centroid_id"].astype("int32"),
+                "kept": dup_of < 0,
+                "dup_of": [None if d < 0 else int(d) for d in dup_of],
+            }
+        )
+
+    return joined.groupBy("centroid_id").applyInPandas(
+        _prune, f"{id_col} long, cluster_id int, kept boolean, dup_of long"
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     min_cosine: float,
