@@ -351,6 +351,35 @@ def q_cluster_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix curation: deterministic stratified downsampling — keep
+    at most 5 docs per (lang, 25-token length-bucket) stratum, ranked by
+    md5(doc_id) (the cluster_capped_sample seedless-shuffle rule applied to
+    composition strata instead of near-dup clusters).  The standard lever
+    for rebalancing a web corpus by language and length without a seeded
+    RNG that no two engines reproduce alike.  Scale shape: one window per
+    stratum — strata are numerous and bounded, so no single-partition
+    window exists."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang"),
+        F.floor(whitespace_token_count(F.col("text")) / 25)
+        .cast("long")
+        .alias("len_bucket"),
+    )
+    w = Window.partitionBy("lang", "len_bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        base.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 5)
+        .select("doc_id", "lang", "len_bucket", "sample_rank")
+    )
+
+
 def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/O2: per-cluster size + max edge distance (union−inter: an integer
     distance surrogate), with the output-sort rank as a column.
@@ -1692,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "cluster_members": q_cluster_members,
         "cluster_capped_sample": q_cluster_capped_sample,
+        "stratified_sample": q_stratified_sample,
         "group_stats": q_group_stats,
         "unique_docs": q_unique_docs,
         "group_filter": q_group_filter,
@@ -2564,6 +2594,22 @@ SELECT doc_id,
        len(toks)::BIGINT AS ws_tokens,
        list_aggregate(list_transform(toks, t -> (length(t) + 3) // 4), 'sum')::BIGINT AS bpe_tokens
 FROM tok
+""",
+        # deterministic stratified downsampling: md5(doc_id) is the
+        # seedless cross-engine shuffle order (cluster_capped_sample rule)
+        "stratified_sample": _SQL_PROLOGUE
+        + r"""
+, strata AS (
+  SELECT t.doc_id, d.lang, (len(t.toks) // 25)::BIGINT AS len_bucket
+  FROM tok t JOIN documents d ON t.doc_id = d.doc_id::BIGINT
+),
+ranked AS (
+  SELECT doc_id, lang, len_bucket,
+         row_number() OVER (PARTITION BY lang, len_bucket
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank
+  FROM strata
+)
+SELECT doc_id, lang, len_bucket, sample_rank FROM ranked WHERE sample_rank <= 5
 """,
         "quality_score": _SQL_PROLOGUE
         + r"""
