@@ -1045,6 +1045,15 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles."""
     from vid_dup_finder_lib_spark.operators.decontam import benchmark_contamination
 
+    train, bench = _decontam_corpora(spark, sf_dir)
+    return benchmark_contamination(train, bench, n=13)
+
+
+def _decontam_corpora(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared derivation for the decontamination queries: docs with
+    doc_id % 97 == 0 are the benchmark; every remaining doc with
+    doc_id % 10 == 0 gets the first benchmark doc's first 13 tokens
+    appended — planted contamination with known ground truth."""
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
@@ -1069,7 +1078,24 @@ def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("text")).alias("text"),
         )
     )
-    return benchmark_contamination(train, bench, n=13)
+    return train, bench
+
+
+def q_eval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVAL-doc contamination coverage (operators/decontam.
+    eval_coverage) — the reverse view of benchmark_decontam: which eval
+    items are burned and how badly.  Same derived corpora, plus one
+    planted FULLY-burned eval item: a training doc (+400097) copies the
+    doc_id=97 benchmark doc verbatim, so that doc reports 100 % coverage
+    (compromised) while the first bench doc reports exactly its planted
+    prefix 13-gram and the rest report zero."""
+    from vid_dup_finder_lib_spark.operators.decontam import eval_coverage
+
+    train, bench = _decontam_corpora(spark, sf_dir)
+    copy = bench.where(F.col("doc_id") == 97).select(
+        F.lit(400097).cast("long").alias("doc_id"), "text"
+    )
+    return eval_coverage(train.unionByName(copy), bench, n=13)
 
 
 def _stream_workdir(prefix: str) -> str:
@@ -1756,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_scan": q_contamination_scan,
         "shard_packing": q_shard_packing,
         "benchmark_decontam": q_benchmark_decontam,
+        "eval_coverage": q_eval_coverage,
         "top_bigram_stats": q_top_bigram_stats,
         "image_ahash_pairs": q_image_ahash_pairs,
         "audio_fp_pairs": q_audio_fp_pairs,
@@ -2389,6 +2416,59 @@ matched AS (
 SELECT t.doc_id, COALESCE(m.n, 0)::BIGINT AS n_contaminated_ngrams,
        COALESCE(m.n, 0) > 0 AS contaminated
 FROM train t LEFT JOIN matched m ON t.doc_id = m.doc_id
+""",
+        # reverse decontam view: per-benchmark-doc coverage by training
+        # n-grams; one bench doc (97) is fully burned via a verbatim
+        # training copy (+400097)
+        "eval_coverage": r"""
+WITH norm AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN []::VARCHAR[] ELSE string_split(norm, ' ') END AS toks
+  FROM norm
+),
+bench AS (SELECT doc_id, toks FROM tok WHERE doc_id % 97 = 0),
+prefix AS (
+  SELECT array_to_string(toks[1:13], ' ') AS p FROM bench ORDER BY doc_id LIMIT 1
+),
+train AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 0
+         THEN list_concat(toks, string_split((SELECT p FROM prefix), ' '))
+         ELSE toks END AS toks
+  FROM tok WHERE doc_id % 97 != 0
+  UNION ALL
+  SELECT 400097, toks FROM tok WHERE doc_id = 97
+),
+tng AS (
+  SELECT DISTINCT unnest(list_distinct(
+    CASE WHEN len(toks) < 13 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(toks) - 11),
+                             i -> md5(array_to_string(toks[i:i+12], ' ')))
+    END)) AS h
+  FROM train
+),
+bdng AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) < 13 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(toks) - 11),
+                             i -> md5(array_to_string(toks[i:i+12], ' ')))
+    END)) AS h
+  FROM bench
+),
+cov AS (
+  SELECT doc_id, count(*) AS n_ngrams,
+         sum(CASE WHEN h IN (SELECT h FROM tng) THEN 1 ELSE 0 END) AS n_covered
+  FROM bdng GROUP BY 1
+)
+SELECT b.doc_id, COALESCE(c.n_ngrams, 0)::BIGINT AS n_ngrams,
+       COALESCE(c.n_covered, 0)::BIGINT AS n_covered,
+       COALESCE(c.n_covered, 0) * 2 > COALESCE(c.n_ngrams, 0) AS compromised
+FROM bench b LEFT JOIN cov c USING (doc_id)
 """,
         # contiguous token-budget shard packing: exclusive running sum in
         # doc_id order // budget — the distributed prefix sum's SQL twin

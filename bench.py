@@ -120,6 +120,7 @@ def main() -> None:
         "contamination_scan",
         "shard_packing",
         "benchmark_decontam",
+        "eval_coverage",
         "top_bigram_stats",
         "image_ahash_pairs",
         "audio_fp_pairs",

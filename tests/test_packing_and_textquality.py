@@ -168,3 +168,33 @@ def test_benchmark_contamination_broadcast_valve(spark):
     # under the cap: runs fine
     out = benchmark_contamination(train, bench, n=13, max_benchmark_ngrams=1000)
     assert out.count() == 1
+
+
+def test_eval_coverage_ground_truth(spark):
+    """The reverse view: per-BENCH-doc coverage.  A bench doc fully copied
+    into training reports 100 % (compromised); one whose 13-gram appears
+    once reports exactly that; short bench docs report 0/0/false."""
+    from vid_dup_finder_lib_spark.operators.decontam import eval_coverage
+
+    b1 = " ".join(f"b{i}" for i in range(20))     # 8 distinct 13-grams
+    b2 = " ".join(f"d{i}" for i in range(15))     # 3 distinct 13-grams
+    b3 = "too short"                               # 0 13-grams
+    bench = spark.createDataFrame(
+        [(100, b1), (200, b2), (300, b3)], "doc_id long, text string"
+    )
+    gram13 = " ".join(f"d{i}" for i in range(13))  # b2's first 13-gram only
+    train = spark.createDataFrame(
+        [(1, b1), (2, "x " * 20 + gram13)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_covered, r.compromised)
+        for r in eval_coverage(train, bench, n=13).collect()
+    }
+    assert got[100] == (8, 8, True)       # fully burned
+    assert got[200] == (3, 1, False)      # 1 of 3 < 1/2
+    assert got[300] == (0, 0, False)      # nothing to cover
+    # valve
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_benchmark_ngrams"):
+        eval_coverage(train, bench, n=13, max_benchmark_ngrams=2)

@@ -96,3 +96,66 @@ def benchmark_contamination(
             (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def eval_coverage(
+    training: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_benchmark_ngrams: int = 50_000_000,
+) -> DataFrame:
+    """Per-EVAL-doc contamination coverage — the reverse view of
+    :func:`benchmark_contamination`: for each benchmark doc, how many of
+    its distinct n-grams appear anywhere in the training corpus, plus a
+    cross-multiplied >1/2 ``compromised`` flag.  Decontamination tells you
+    which TRAINING docs to drop; this tells you which EVAL items are
+    already burned and how badly — the number an eval-integrity report
+    needs before trusting a score.
+
+    Output: ``(id_col, n_ngrams, n_covered, compromised)``; benchmark docs
+    shorter than ``n`` tokens report 0/0/false (nothing to cover).
+
+    Scale shape mirrors benchmark_contamination exactly: the benchmark
+    n-gram set (valve-guarded, tiny) is broadcast, the 10^12-doc training
+    side streams map-side through the semi-join, and only the MATCHED
+    hashes — a subset of the small side — are distinct'd and shuffled.
+    The per-doc coverage join is again broadcast (hit set ⊆ benchmark
+    set).
+    """
+    bench_doc_ng = ngram_hashes(benchmark, n, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    bench_set = bench_doc_ng.select("ngram_md5").distinct().localCheckpoint(eager=True)
+    n_bench = bench_set.count()
+    if n_bench > max_benchmark_ngrams:
+        raise ValueError(
+            f"eval_coverage: benchmark side has {n_bench} distinct {n}-grams "
+            f"(> max_benchmark_ngrams={max_benchmark_ngrams}) — too large to "
+            "broadcast; shrink the benchmark or raise the cap"
+        )
+    train_ng = ngram_hashes(training, n, id_col, text_col)
+    hit = (
+        train_ng.join(F.broadcast(bench_set), "ngram_md5")
+        .select("ngram_md5")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    per_doc = (
+        bench_doc_ng.join(F.broadcast(hit), "ngram_md5", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0)).cast("long").alias("n_covered"),
+        )
+    )
+    ids = benchmark.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+        F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+        (
+            F.coalesce("n_covered", F.lit(0)) * 2 > F.coalesce("n_ngrams", F.lit(0))
+        ).alias("compromised"),
+    )
