@@ -128,6 +128,7 @@ def main() -> None:
         "repeated_line_strip",
         "domain_dup_stats",
         "streamed_dedup",
+        "stratified_sample",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}

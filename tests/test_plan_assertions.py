@@ -93,3 +93,39 @@ def test_pack_shards_no_global_window(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "_pid" in line, f"unpartitioned window: {line}"
+
+
+def test_strip_frequent_lines_frequent_set_is_broadcast(spark):
+    """The frequent-line set must broadcast into the strip's anti-join:
+    the full line stream shuffles only for the df count / reassembly
+    (both keyed small), never hash-partitioned on the line for the strip
+    itself."""
+    from vid_dup_finder_lib_spark.operators.boilerplate import strip_frequent_lines
+
+    lined = spark.createDataFrame(
+        [(i, ["line a", f"own {i}", "line b"]) for i in range(40)],
+        "doc_id long, lines array<string>",
+    )
+    plan = _plan(strip_frequent_lines(lined, min_df=3))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # LeftAnti variant specifically — the strip drops, never multiplies
+    assert "LeftAnti" in plan
+
+
+def test_eval_coverage_training_side_never_shuffles_on_ngram(spark):
+    """Reverse decontam keeps the decontam scale shape: benchmark n-gram
+    set broadcast, no Exchange keyed on the n-gram hash (the training
+    explode is the 10^12 side)."""
+    from vid_dup_finder_lib_spark.operators.decontam import eval_coverage
+
+    train = spark.createDataFrame(
+        [(i, "some words " * 20) for i in range(50)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "bench words " * 20)], "doc_id long, text string"
+    )
+    plan = _plan(eval_coverage(train, bench, n=13))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "ngram_md5" not in line, line
