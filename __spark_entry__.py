@@ -1247,6 +1247,41 @@ def q_repeated_line_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NAV_LINE = "subscribe to our newsletter follow us on twitter"
 _FOOTER_LINE = "all rights reserved terms of use privacy policy"
+_PROMO_LINE = "click here for the best deals on the whole internet"
+
+
+def q_paragraph_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global first-occurrence-wins paragraph dedup
+    (operators/boilerplate.dedup_lines_first_wins) — the RefinedWeb exact
+    paragraph-dedup semantics, vs repeated_line_strip's CCNet drop-ALL-copies
+    rule.  Planted ground truth over the 8-token re-lining: a shared promo
+    line is PREPENDED for doc_id % 11 == 0 and APPENDED for doc_id % 6 == 0
+    (doc 0 qualifies for both, so the global first occurrence is inside doc
+    0 and every other copy — including earlier-position prepends in
+    higher-id docs — must drop: exercises the id-major (id, pos) order);
+    doc_id % 13 == 0 re-appends the doc's own first line (intra-doc dup:
+    first copy kept, repeat dropped).  widen=False: pure-JVM explode +
+    two map-side-combinable aggregations, no Python."""
+    from vid_dup_finder_lib_spark.functions.textstats import token_lines
+    from vid_dup_finder_lib_spark.operators.boilerplate import dedup_lines_first_wins
+
+    docs = _docs(spark, sf_dir, widen=False)
+    d = F.col("doc_id").cast("long")
+    empty = F.array().cast("array<string>")
+    promo = F.array(F.lit(_PROMO_LINE))
+    base = token_lines(F.col("text"), 8)
+    lined = docs.select(
+        d.alias("doc_id"),
+        F.concat(
+            F.when(d % 11 == 0, promo).otherwise(empty),
+            base,
+            F.when(d % 6 == 0, promo).otherwise(empty),
+            F.when((d % 13 == 0) & (F.size(base) > 0), F.slice(base, 1, 1)).otherwise(
+                empty
+            ),
+        ).alias("lines"),
+    )
+    return dedup_lines_first_wins(lined)
 
 
 def q_domain_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1777,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_sessions": q_streamed_sessions,
         "streamed_dedup": q_streamed_dedup,
         "repeated_line_strip": q_repeated_line_strip,
+        "paragraph_dedup_rewrite": q_paragraph_dedup_rewrite,
         "domain_dup_stats": q_domain_dup_stats,
         "gopher_repetition": q_gopher_repetition,
         "contamination_scan": q_contamination_scan,
@@ -2264,6 +2300,63 @@ SELECT doc_id, n_lines,
        len(kept_lines)::BIGINT AS n_kept,
        md5(array_to_string(kept_lines, chr(10))) AS kept_md5
 FROM kept
+""",
+        # corpus-global first-occurrence-wins paragraph dedup: promo line
+        # prepended at %11, appended at %6, own-first-line re-appended at
+        # %13; row_number over (line) ordered (doc_id, pos) mirrors the
+        # engine's min(struct(id, pos)) winner rule
+        "paragraph_dedup_rewrite": r"""
+WITH norm AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN []::VARCHAR[] ELSE string_split(norm, ' ') END AS toks
+  FROM norm
+),
+lines0 AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[] ELSE
+      list_transform(range(0, (len(toks) + 7) // 8),
+                     i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' '))
+    END AS lines
+  FROM tok
+),
+planted AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 11 = 0
+          THEN ['click here for the best deals on the whole internet']
+          ELSE []::VARCHAR[] END) ||
+    lines ||
+    (CASE WHEN doc_id % 6 = 0
+          THEN ['click here for the best deals on the whole internet']
+          ELSE []::VARCHAR[] END) ||
+    (CASE WHEN doc_id % 13 = 0 AND len(lines) > 0
+          THEN [lines[1]] ELSE []::VARCHAR[] END) AS lines
+  FROM lines0
+),
+ex AS (
+  SELECT doc_id,
+         unnest(range(0, len(lines))) AS pos,
+         unnest(lines) AS line
+  FROM planted
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM ex
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY pos)) AS kept_md5
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT p.doc_id, len(p.lines)::BIGINT AS n_lines,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(a.kept_md5, md5('')) AS kept_md5
+FROM planted p LEFT JOIN agg a USING (doc_id)
 """,
         # per-domain exact-dup share with a planted mirror source (every
         # 5th doc copied verbatim): mirror = 100 % dups -> flagged at >1/2

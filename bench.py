@@ -129,6 +129,7 @@ def main() -> None:
         "domain_dup_stats",
         "streamed_dedup",
         "stratified_sample",
+        "paragraph_dedup_rewrite",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}

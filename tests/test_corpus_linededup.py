@@ -135,3 +135,83 @@ def test_dup_share_cross_key_classes(spark):
     out = {r["source"]: r for r in dup_share_by_key(docs).collect()}
     assert out["org"]["n_dup_docs"] == 2 and out["org"]["dup_flag"] is True
     assert out["mirror"]["n_dup_docs"] == 2 and out["mirror"]["dup_flag"] is True
+
+
+# ---------------------------------------------------------------------------
+# dedup_lines_first_wins (RefinedWeb first-occurrence-wins semantics)
+# ---------------------------------------------------------------------------
+
+from vid_dup_finder_lib_spark.operators.boilerplate import dedup_lines_first_wins
+
+
+def _md5_lines(lines):
+    import hashlib
+
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def fw_lined(spark):
+    # "promo" appears in docs 1 (pos 2), 2 (pos 0), 3 (pos 1): only the
+    # (1, 2) occurrence survives — id-major order beats the earlier
+    # position in doc 2.  Doc 4 repeats its own line: first copy kept.
+    # Doc 5 is all-duplicate lines of earlier docs -> zero kept.
+    return _lined(
+        spark,
+        [
+            (1, ["alpha one", "beta one", "promo"]),
+            (2, ["promo", "gamma two"]),
+            (3, ["delta three", "promo", "gamma two"]),
+            (4, ["self rep", "self rep", "tail four"]),
+            (5, ["promo", "gamma two", "self rep"]),
+            (6, []),
+        ],
+    )
+
+
+def test_first_wins_semantics(spark, fw_lined):
+    out = {r["doc_id"]: r for r in dedup_lines_first_wins(fw_lined).collect()}
+    assert len(out) == 6
+    # doc 1 owns the global first of every one of its lines
+    assert out[1]["n_kept"] == 3
+    assert out[1]["kept_md5"] == _md5_lines(["alpha one", "beta one", "promo"])
+    # doc 2 loses "promo" to doc 1 despite holding it at pos 0
+    assert out[2]["n_kept"] == 1
+    assert out[2]["kept_md5"] == _md5_lines(["gamma two"])
+    # doc 3 loses both shared lines
+    assert out[3]["n_kept"] == 1
+    assert out[3]["kept_md5"] == _md5_lines(["delta three"])
+    # intra-doc repeat: first copy kept in place, repeat dropped
+    assert out[4]["n_kept"] == 2
+    assert out[4]["kept_md5"] == _md5_lines(["self rep", "tail four"])
+    # all-duplicate doc collapses to the empty rewrite, not a missing row
+    assert out[5]["n_lines"] == 3 and out[5]["n_kept"] == 0
+    assert out[5]["kept_md5"] == MD5_EMPTY
+    assert out[6]["n_lines"] == 0 and out[6]["kept_md5"] == MD5_EMPTY
+
+
+def test_first_wins_partitioning_invariance(spark, fw_lined):
+    a = sorted(map(tuple, dedup_lines_first_wins(fw_lined.repartition(1)).collect()))
+    b = sorted(map(tuple, dedup_lines_first_wins(fw_lined.repartition(16)).collect()))
+    assert a == b
+
+
+def test_first_wins_vs_naive(spark, fw_lined):
+    # independent naive reimplementation over the same rows
+    rows = sorted(
+        (r["doc_id"], list(r["lines"] or [])) for r in fw_lined.collect()
+    )
+    seen: set[str] = set()
+    expect = {}
+    for doc_id, lines in rows:
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        expect[doc_id] = (len(lines), len(kept), _md5_lines(kept))
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_md5"])
+        for r in dedup_lines_first_wins(fw_lined).collect()
+    }
+    assert got == expect

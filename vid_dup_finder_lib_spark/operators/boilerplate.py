@@ -257,3 +257,73 @@ def strip_frequent_lines(
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
     )
+
+
+def dedup_lines_first_wins(
+    lined: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+) -> DataFrame:
+    """Corpus-global exact paragraph/line dedup, first-occurrence-wins —
+    the RefinedWeb / "exact substring dedup at paragraph granularity"
+    semantics (Penedo et al. 2023; public knowledge): every line occurrence
+    that is NOT the globally first occurrence of that exact line is dropped,
+    where "first" is the total order ``(id, pos)`` — lowest doc id wins,
+    then earliest position within the doc (so a doc repeating its own line
+    keeps only the first copy).  Contrast with :func:`strip_frequent_lines`,
+    which drops ALL copies of over-frequent lines including the first.
+
+    Input: ``(id, lines: array<string>)``.  Output per input row::
+
+        (id, n_lines, n_kept, kept_md5)
+
+    with ``kept_md5`` = md5 of the surviving lines joined by ``\\n`` in
+    original order (the downstream exact-dedup key), matching the
+    :func:`strip_frequent_lines` contract so the two strips compose.
+
+    Scale shape (100 TB): the whole operator is ONE map-side-combinable
+    aggregation plus one regroup — no join anywhere.  The kept set is
+    exactly ``min(struct(id, pos))`` per distinct line: partial ``min`` s
+    combine on the map side, so a line duplicated across 10^9 documents
+    ships ONE candidate row per map task to its reducer (the skew a
+    window-function formulation would concentrate instead).  The second
+    aggregation regroups the (already deduplicated, hence no larger than
+    the corpus' distinct-line count) winners by doc id — the same key the
+    signature stage consumes next.
+    """
+    spine = lined.select(
+        F.col(id_col).alias("id"), F.size(lines_col).cast("long").alias("n_lines")
+    )
+    exploded = lined.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(lines_col)).alias("pos", "line"),
+    )
+    winners = exploded.groupBy("line").agg(
+        F.min(F.struct("id", "pos")).alias("first")
+    )
+    kept = (
+        winners.select(
+            F.col("first.id").alias("id"),
+            F.col("first.pos").alias("pos"),
+            "line",
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("kept_md5"),
+        )
+    )
+    return spine.join(kept, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+    )
