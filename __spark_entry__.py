@@ -452,6 +452,26 @@ def q_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup end product (operators/dedup.neardup_survivors): the
+    deduplicated derived corpus — min-id survivor per verified near-dup
+    cluster plus every unclustered doc, with the cluster size each survivor
+    represents.  A reference user's final "unique list + one representative
+    per group" output (vid_dup_finder_app output.rs) re-expressed as the
+    corpus a training pipeline ships."""
+    from vid_dup_finder_lib_spark.operators.components import connected_components
+    from vid_dup_finder_lib_spark.operators.dedup import neardup_survivors
+
+    cc = connected_components(_lsh_edges(spark, sf_dir)).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+    derived = _derived_neardup(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    return neardup_survivors(derived, cc)
+
+
 def q_missed_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: recall accounting — planted pairs the search failed to find
     (planted short docs fall below the Jaccard threshold; they are the
@@ -1785,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "group_stats": q_group_stats,
         "unique_docs": q_unique_docs,
+        "neardup_survivors": q_neardup_survivors,
         "group_filter": q_group_filter,
         "group_sort_duration": q_group_sort_duration,
         "cluster_best_quality": q_cluster_best_quality,
@@ -1935,6 +1956,18 @@ FROM mlen m LEFT JOIN mdist d USING (cluster_id)
         "unique_docs": _SQL_PROLOGUE + r"""
 SELECT d.doc_id FROM derived d
 WHERE d.doc_id NOT IN (SELECT id1 FROM jpairs UNION SELECT id2 FROM jpairs)
+""",
+        # fuzzy-dedup end product: min-id survivor per CC cluster + all
+        # singletons at size 1
+        "neardup_survivors": prologue_r + sql_cc + r"""
+, sizes AS (
+  SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS cluster_size
+  FROM cc GROUP BY cluster_id
+)
+SELECT doc_id, cluster_size FROM sizes
+UNION ALL
+SELECT d.doc_id, 1::BIGINT AS cluster_size FROM derived d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cc)
 """,
         "missed_matches": _SQL_PROLOGUE + r"""
 SELECT doc_id AS id1, doc_id + 100000 AS id2 FROM tok

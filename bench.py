@@ -130,6 +130,7 @@ def main() -> None:
         "streamed_dedup",
         "stratified_sample",
         "paragraph_dedup_rewrite",
+        "neardup_survivors",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}

@@ -202,3 +202,41 @@ def test_multimodal_plumbing(spark):
     assert real["m3"] == "EmptyPayload"
     with pytest.raises(ValueError):
         extract_frame_features(media, decoder="nope")
+
+
+# ---------------------------------------------------------------------------
+# neardup_survivors (fuzzy-dedup end product)
+# ---------------------------------------------------------------------------
+
+
+def test_neardup_survivors_semantics(spark):
+    from vid_dup_finder_lib_spark.operators.dedup import neardup_survivors
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long"
+    )
+    # two clusters {1,3,5} and {2,8}; labels deliberately NOT the min
+    # member to prove the explicit min(survivor) rule, plus 0,4,6,7,9 single
+    cc = spark.createDataFrame(
+        [(1, 99), (3, 99), (5, 99), (2, 77), (8, 77)],
+        "doc_id long, cluster_id long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_size"]
+        for r in neardup_survivors(docs, cc).collect()
+    }
+    assert got == {1: 3, 2: 2, 0: 1, 4: 1, 6: 1, 7: 1, 9: 1}
+
+
+def test_neardup_survivors_partitioning_invariance(spark):
+    from vid_dup_finder_lib_spark.operators.dedup import neardup_survivors
+
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    cc = spark.createDataFrame(
+        [(i, i // 5 * 5) for i in range(0, 100)],
+        "doc_id long, cluster_id long",
+    )
+    a = sorted(map(tuple, neardup_survivors(docs.repartition(1), cc.repartition(1)).collect()))
+    b = sorted(map(tuple, neardup_survivors(docs.repartition(13), cc.repartition(7)).collect()))
+    assert a == b
+    assert len(a) == 20 + 100  # 20 five-doc clusters + 100 singletons
