@@ -1304,6 +1304,35 @@ def q_paragraph_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_first_wins(lined)
 
 
+def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental membership vs an existing corpus with the Bloom prefilter
+    on the fast path (operators/membership.incremental_exact_dedup).
+    Planted split: corpus = even doc_ids; incoming = odd doc_ids (true
+    non-members) plus verbatim copies of every 4th even doc under +400000
+    ids (true members) — the output is EXACT membership, so the oracle is a
+    plain semi-join and the Bloom layer is pure plan optimization (its
+    no-false-negative guarantee is what the test suite pins).  widen=False:
+    hashing is JVM sha2/xxhash64; the probe is one Arrow pass."""
+    from vid_dup_finder_lib_spark.operators.membership import (
+        incremental_exact_dedup,
+    )
+
+    docs = _docs(spark, sf_dir, widen=False).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        docs.where(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 400000).alias("doc_id"), "text"
+        )
+    )
+    # fixed filter geometry: deterministic, and skips the sizing scan
+    return incremental_exact_dedup(
+        incoming, corpus, content_col="text", id_col="doc_id",
+        m_bits=1 << 14, k=5,
+    )
+
+
 def q_domain_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain exact-duplicate share (operators/dedup.dup_share_by_key):
     the mirror-site / spam-domain drop signal.  Planted ground truth: every
@@ -1834,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_dedup": q_streamed_dedup,
         "repeated_line_strip": q_repeated_line_strip,
         "paragraph_dedup_rewrite": q_paragraph_dedup_rewrite,
+        "bloom_incremental_dedup": q_bloom_incremental_dedup,
         "domain_dup_stats": q_domain_dup_stats,
         "gopher_repetition": q_gopher_repetition,
         "contamination_scan": q_contamination_scan,
@@ -2390,6 +2420,21 @@ SELECT p.doc_id, len(p.lines)::BIGINT AS n_lines,
        coalesce(a.n_kept, 0)::BIGINT AS n_kept,
        coalesce(a.kept_md5, md5('')) AS kept_md5
 FROM planted p LEFT JOIN agg a USING (doc_id)
+""",
+        # incremental membership vs the even-id corpus: the Bloom prefilter
+        # is plan-side only, so exact semi-join membership IS the oracle
+        "bloom_incremental_dedup": r"""
+WITH corpus AS (
+  SELECT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0
+),
+incoming AS (
+  SELECT doc_id::BIGINT AS doc_id, sha256(text) AS h
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 400000, sha256(text) FROM documents WHERE doc_id % 4 = 0
+)
+SELECT i.doc_id, (i.h IN (SELECT h FROM corpus)) AS is_dup
+FROM incoming i
 """,
         # per-domain exact-dup share with a planted mirror source (every
         # 5th doc copied verbatim): mirror = 100 % dups -> flagged at >1/2

@@ -131,6 +131,7 @@ def main() -> None:
         "stratified_sample",
         "paragraph_dedup_rewrite",
         "neardup_survivors",
+        "bloom_incremental_dedup",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}
