@@ -380,6 +380,45 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix composition report: token-weighted corpus shares by
+    (DETECTED language, 50-token length bucket) — the table a data-mix
+    designer reads before setting sampling weights (and the aggregate
+    consumer of langid_heuristic, vs stratified_sample's use of the stored
+    lang column).  Shares are integer parts-per-million via decimal(38,0)
+    floor-division so the report is bit-exact cross-engine AND overflow-safe
+    at 10^13-token corpora where sum_tokens * 10^6 exceeds int64.  Scale
+    shape: one map-side-combinable aggregation; the grand total is a
+    single-row broadcast cross join, not an unpartitioned window."""
+    docs = _docs(spark, sf_dir)
+    norm = normalize_text(F.col("text"))
+    toks = tokens_col(norm)
+    base = docs.select(
+        langid_heuristic(F.col("text")).alias("lang_guess"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    strata = base.groupBy(
+        "lang_guess", F.floor(F.col("n_tokens") / 50).cast("long").alias("len_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+    total = strata.agg(F.sum("sum_tokens").cast("long").alias("__total"))
+    return strata.crossJoin(F.broadcast(total)).select(
+        "lang_guess",
+        "len_bucket",
+        "n_docs",
+        "sum_tokens",
+        F.floor(
+            F.col("sum_tokens").cast("decimal(38,0)")
+            * F.lit(1_000_000)
+            / F.greatest(F.col("__total"), F.lit(1))
+        )
+        .cast("long")
+        .alias("token_share_ppm"),
+    )
+
+
 def q_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8/O2: per-cluster size + max edge distance (union−inter: an integer
     distance surrogate), with the output-sort rank as a column.
@@ -1828,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
         "langid": q_langid,
+        "corpus_mix_report": q_corpus_mix_report,
         "connected_components": q_connected_components,
         "cluster_members": q_cluster_members,
         "cluster_capped_sample": q_cluster_capped_sample,
@@ -2884,5 +2924,28 @@ FROM norm n JOIN tok t USING (doc_id) JOIN documents d ON d.doc_id = n.doc_id
 )
 SELECT doc_id, {best} AS lang_guess, {", ".join(f"hits_{lang}" for lang in langs)}
 FROM hits
+""",
+        # token-weighted mix report over the DETECTED language; hugeint
+        # mirrors the engine's decimal(38,0) overflow-safe ppm division
+        "corpus_mix_report": _SQL_PROLOGUE
+        + f"""
+, hits AS (
+  SELECT doc_id,
+  {hit_exprs}
+  FROM tok
+),
+base AS (
+  SELECT t.doc_id, {best} AS lang_guess, len(t.toks)::BIGINT AS n_tokens
+  FROM tok t JOIN hits h USING (doc_id)
+),
+strata AS (
+  SELECT lang_guess, (n_tokens // 50)::BIGINT AS len_bucket,
+         count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
+  FROM base GROUP BY 1, 2
+),
+tot AS (SELECT sum(sum_tokens)::BIGINT AS total FROM strata)
+SELECT lang_guess, len_bucket, n_docs, sum_tokens,
+       (sum_tokens::HUGEINT * 1000000 // greatest(tot.total, 1))::BIGINT AS token_share_ppm
+FROM strata, tot
 """,
     }

@@ -132,6 +132,7 @@ def main() -> None:
         "paragraph_dedup_rewrite",
         "neardup_survivors",
         "bloom_incremental_dedup",
+        "corpus_mix_report",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}
