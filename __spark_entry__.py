@@ -1278,6 +1278,52 @@ def q_streamed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streamed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental NEAR-dup ingest made oracle-visible (the
+    fourth streaming output under the gate): RUNS the
+    streaming/neardup.stream_neardup_dedup availableNow job — Arrow
+    signature kernel, LSH band self-join, token-hamming verify, in-batch
+    CC, survivor upsert into a fresh PartitionedSignatureStore — over the
+    derived near-dup corpus (docs >= 40 tokens) as ONE batch, and returns
+    the emitted (id, canonical_id, is_survivor) mapping.
+
+    Determinism/oracle: single batch + empty store makes the assignment
+    exactly "CC with min-id labels over pairs within token-hamming radius
+    20 and the 1.10 length band, singletons canonical to themselves" —
+    which DuckDB reproduces with a positional token-mismatch join + the
+    recursive-CTE walk.  The >= 40-token floor keeps unrelated short docs
+    outside the ABSOLUTE radius (measured: min unrelated-pair hamming 21+
+    would not hold below it; mutant pairs sit at ceil(len/10) <= 10, and
+    the minimum Jaccard among qualifying pairs is 0.51, so 64-band LSH
+    recall is ~1 - 5e-9 — and frozen-seed deterministic either way)."""
+    from vid_dup_finder_lib_spark.plans.sigstore import PartitionedSignatureStore
+    from vid_dup_finder_lib_spark.streaming.neardup import stream_neardup_dedup
+
+    work = _stream_workdir("streamed_neardup_")
+    derived = _derived_neardup(_docs(spark, sf_dir, widen=False))
+    derived.where(
+        F.size(tokens_col(normalize_text(F.col("text")))) >= 40
+    ).coalesce(8).write.parquet(f"{work}/src")
+    store = PartitionedSignatureStore(f"{work}/store", ENTRY_CFG, num_buckets=8)
+    stream_neardup_dedup(
+        spark,
+        f"{work}/src",
+        f"{work}/out",
+        f"{work}/ckpt",
+        store,
+        schema="doc_id long, text string",
+        cfg=ENTRY_CFG,
+        tolerance=0.02,
+        id_col="doc_id",
+        text_col="text",
+    )
+    return spark.read.parquet(f"{work}/out").select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "is_survivor",
+    )
+
+
 def q_repeated_line_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level frequent-line removal (CCNet-style duplicated-paragraph
     strip, operators/boilerplate.strip_frequent_lines): docs are re-lined
@@ -1901,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_event_rollup": q_streamed_event_rollup,
         "streamed_sessions": q_streamed_sessions,
         "streamed_dedup": q_streamed_dedup,
+        "streamed_neardup": q_streamed_neardup,
         "repeated_line_strip": q_repeated_line_strip,
         "paragraph_dedup_rewrite": q_paragraph_dedup_rewrite,
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
@@ -2403,6 +2450,50 @@ SELECT doc_id, n_lines,
        len(kept_lines)::BIGINT AS n_kept,
        md5(array_to_string(kept_lines, chr(10))) AS kept_md5
 FROM kept
+""",
+        # single-batch streaming near-dup ingest: CC (min label) over pairs
+        # within token-hamming radius 20 + 1.10 length band, over the
+        # >=40-token derived corpus; singletons survive as themselves
+        "streamed_neardup": r"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN []::VARCHAR[] ELSE string_split(norm, ' ') END AS toks
+  FROM norm
+),
+derived AS (
+  SELECT doc_id, toks FROM tok
+  UNION ALL
+  SELECT doc_id + 100000,
+         list_transform(toks, (x, i) -> CASE WHEN (i-1) % 10 = 0 THEN 'zz' ELSE x END)
+  FROM tok
+),
+dl AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS n FROM derived WHERE len(toks) >= 40
+),
+tp AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM dl a JOIN dl b
+    ON a.doc_id < b.doc_id
+   AND greatest(a.n, b.n) * 100 <= least(a.n, b.n) * 110
+  WHERE len(list_filter(range(1, least(a.n, b.n) + 1), i -> a.toks[i] <> b.toks[i]))
+        + greatest(a.n, b.n) - least(a.n, b.n) <= 20
+),
+sym AS (SELECT id1 AS a, id2 AS b FROM tp UNION SELECT id2, id1 FROM tp),
+walk(id, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT w.id, s.b FROM walk w JOIN sym s ON w.r = s.a
+),
+cc AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM walk GROUP BY id)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id)::BIGINT AS canonical_id,
+       (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS is_survivor
+FROM dl d LEFT JOIN cc c USING (doc_id)
 """,
         # corpus-global first-occurrence-wins paragraph dedup: promo line
         # prepended at %11, appended at %6, own-first-line re-appended at

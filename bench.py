@@ -133,6 +133,7 @@ def main() -> None:
         "neardup_survivors",
         "bloom_incremental_dedup",
         "corpus_mix_report",
+        "streamed_neardup",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}

@@ -1,0 +1,110 @@
+"""Streaming incremental near-dup dedup: exact + near duplicates detected
+across micro-batches against the persisted survivor store; only novel docs
+admitted; replayed/empty triggers are no-ops."""
+
+from pyspark.sql import Row
+
+from vid_dup_finder_lib_spark.config import SigConfig
+from vid_dup_finder_lib_spark.corpus import CorpusBuilder
+from vid_dup_finder_lib_spark.plans.sigstore import PartitionedSignatureStore
+from vid_dup_finder_lib_spark.streaming.neardup import stream_neardup_dedup
+
+CFG = SigConfig(num_perms=128, lsh_bands=128, seed=42)
+SCHEMA = "url string, text string"
+TOL = 0.1
+DOCLEN = 600
+
+
+def _texts():
+    cb = CorpusBuilder(seed=31)
+    a = cb.base_tokens(DOCLEN)
+    b = cb.base_at_distance(a, 300)
+    c = cb.base_at_distance(b, 300)
+    d = cb.base_at_distance(c, 300)
+    e = cb.base_at_distance(d, 300)
+    t = CorpusBuilder.tokens_to_text
+    return {
+        "a": t(a),
+        "b": t(b),
+        "b_near": t(cb.member_at_distance(b, 20)),
+        "b_near2": t(cb.member_at_distance(b, 25)),
+        "c": t(c),
+        "d": t(d),
+        "e": t(e),
+    }
+
+
+def _run(spark, src, out, ckpt, store):
+    return stream_neardup_dedup(
+        spark, src, out, ckpt, store, SCHEMA, cfg=CFG, tolerance=TOL
+    )
+
+
+def _read_out(spark, out):
+    return {
+        (r["batch"], r["id"]): (r["canonical_id"], r["is_survivor"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+
+def test_incremental_neardup_across_batches(spark, tmp_path):
+    tx = _texts()
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    store = PartitionedSignatureStore(
+        str(tmp_path / "store"), CFG, num_buckets=8
+    )
+
+    # batch 1: two distinct docs
+    spark.createDataFrame(
+        [Row(url="a1", text=tx["a"]), Row(url="b1", text=tx["b"])], SCHEMA
+    ).coalesce(1).write.parquet(src)
+    _run(spark, src, out, ckpt, store)
+    got = _read_out(spark, out)
+    assert got == {
+        (0, "a1"): ("a1", True),
+        (0, "b1"): ("b1", True),
+    }
+    assert {r["id"] for r in store.read(spark).collect()} == {"a1", "b1"}
+
+    # batch 2: exact dup of a1, near dup of b1, in-batch dup pair (c2=c9),
+    # and the pair's min id is the survivor
+    spark.createDataFrame(
+        [
+            Row(url="z1", text=tx["a"]),        # exact dup -> a1
+            Row(url="z2", text=tx["b_near"]),   # near dup -> b1
+            Row(url="c2", text=tx["c"]),        # in-batch pair, min id wins
+            Row(url="c9", text=tx["c"]),
+            Row(url="d1", text=tx["d"]),        # novel
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, out, ckpt, store)
+    got = _read_out(spark, out)
+    assert got[(1, "z1")] == ("a1", False)
+    assert got[(1, "z2")] == ("b1", False)
+    assert got[(1, "c2")] == ("c2", True)
+    assert got[(1, "c9")] == ("c2", False)
+    assert got[(1, "d1")] == ("d1", True)
+    assert {r["id"] for r in store.read(spark).collect()} == {
+        "a1", "b1", "c2", "d1",
+    }
+
+    # batch 3: another near dup of b (vs the STORED canonical, not the
+    # dropped z2) + one novel doc
+    spark.createDataFrame(
+        [Row(url="y1", text=tx["b_near2"]), Row(url="e1", text=tx["e"])],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, out, ckpt, store)
+    got = _read_out(spark, out)
+    assert got[(2, "y1")] == ("b1", False)
+    assert got[(2, "e1")] == ("e1", True)
+    survivors = {r["id"] for r in store.read(spark).collect()}
+    assert survivors == {"a1", "b1", "c2", "d1", "e1"}
+
+    # no new files: the trigger is a no-op (no new batch dirs, store same)
+    _run(spark, src, out, ckpt, store)
+    assert {b for (b, _i) in _read_out(spark, out)} == {0, 1, 2}
+    assert {r["id"] for r in store.read(spark).collect()} == survivors

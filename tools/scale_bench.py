@@ -69,7 +69,7 @@ BALLAST_HIGH = int(os.environ.get("SCALE_BALLAST_HIGH", "0"))
 PART = int(os.environ.get("SCALE_PART", str(4 * N * 2)))
 ADVISORY_MB = int(os.environ.get("SCALE_ADVISORY_MB", "64"))
 
-PHASES = ["signatures", "candidates", "verify", "cc", "temporal", "ann"]
+PHASES = ["signatures", "candidates", "verify", "cc", "temporal", "ann", "bloom"]
 
 CHILD = r"""
 import json, os, shutil, sys, time, urllib.request
@@ -85,6 +85,7 @@ from vid_dup_finder_lib_spark.operators.verify import verified_edges
 from vid_dup_finder_lib_spark.operators.components import connected_components
 from vid_dup_finder_lib_spark.operators.temporal import sessionize, window_rollup
 from vid_dup_finder_lib_spark.operators.ann import lsh_bucket_topk
+from vid_dup_finder_lib_spark.operators.membership import bloom_build, bloom_candidates
 
 os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
 local_dir = f"/dev/shm/spark-scale-{os.getpid()}"
@@ -186,8 +187,17 @@ def run_pipeline(tag):
     n_ann = lsh_bucket_topk(emb_amp, k=5, dim=64, n_tables=8, n_planes=12,
                             seed=42, n_probes=2).count()
     walls["ann"] = time.time() - t0
+    sc.setJobGroup(f"bloom@{tag}", "bloom")
+    t0 = time.time()
+    keyed = corpus.select(
+        F.xxhash64(F.sha2(F.col("text").cast("binary"), 256)).alias("mkey"))
+    bwords = bloom_build(keyed, "mkey", 1 << 22, 5)
+    n_bloom = bloom_candidates(keyed, "mkey", bwords, 1 << 22, 5).where(
+        F.col("bloom_hit")).count()
+    assert n_bloom == n_docs, "bloom false negative at scale!"
+    walls["bloom"] = time.time() - t0
     sc.setJobGroup(f"idle@{tag}", "idle")
-    return (n_edges, n_assigned, n_sessions + n_windows, n_ann,
+    return (n_edges, n_assigned, n_sessions + n_windows, n_ann, n_bloom,
             time.time() - t_all, walls, float(sig_cpu.value))
 
 def rest_core_seconds(tag):
@@ -219,20 +229,22 @@ def rest_core_seconds(tag):
 run_pipeline("warmup")  # python worker spin-up, codegen JIT, page cache
 runs = []
 for i in range(RUNS):
-    n_edges, n_assigned, n_temporal, n_ann, wall, walls, sig_cpu = run_pipeline(f"m{i}")
+    n_edges, n_assigned, n_temporal, n_ann, n_bloom, wall, walls, sig_cpu = run_pipeline(f"m{i}")
     runs.append({"wall_sec": round(wall, 2),
                  "phase_wall": {k: round(v, 2) for k, v in walls.items()},
                  "phase_core": rest_core_seconds(f"m{i}"),
                  "sig_python_cpu_sec": round(sig_cpu, 1),
                  "edges": n_edges, "assigned": n_assigned,
-                 "temporal_rows": n_temporal, "ann_rows": n_ann})
+                 "temporal_rows": n_temporal, "ann_rows": n_ann,
+                 "bloom_rows": n_bloom})
 best = min(runs, key=lambda r: r["wall_sec"])
 shutil.rmtree(local_dir, ignore_errors=True)
 print(json.dumps({"cpus": cpus, "docs": n_docs, "events": n_events,
                   "vecs": n_vecs, "edges": best["edges"],
                   "assigned": best["assigned"],
                   "temporal_rows": best["temporal_rows"],
-                  "ann_rows": best["ann_rows"], "wall_sec": best["wall_sec"],
+                  "ann_rows": best["ann_rows"], "bloom_rows": best["bloom_rows"],
+                  "wall_sec": best["wall_sec"],
                   "docs_per_sec": round(n_docs / best["wall_sec"], 1),
                   "phase_wall": best["phase_wall"], "phase_core": best["phase_core"],
                   "sig_python_cpu_sec": best["sig_python_cpu_sec"],
@@ -331,6 +343,7 @@ def main() -> None:
             and r["docs"] == lo[0]["docs"]
             and r["temporal_rows"] == lo[0]["temporal_rows"]
             and r["ann_rows"] == lo[0]["ann_rows"]
+            and r["bloom_rows"] == lo[0]["bloom_rows"]
         ), "nondeterministic job!"
 
     pairs = sorted(
@@ -380,7 +393,9 @@ def main() -> None:
         f"  {r_lo['edges']} verified edges; plus a temporal phase",
         f"  (sessionize + hourly rollup over {r_lo['events']} amplified",
         f"  events) and an ANN phase (multi-probe hyperplane-LSH top-5 over",
-        f"  {r_lo['vecs']} perturbed embeddings)",
+        f"  {r_lo['vecs']} perturbed embeddings) and a Bloom membership phase",
+        f"  (4 Mi-bit build + probe over all {r_lo['docs']} content hashes;",
+        "  zero false negatives asserted at both levels)",
         "",
         "## Headline (best back-to-back pair)",
         "",

@@ -122,7 +122,24 @@ def search_with_references(
     # attach join): materialize or the Arrow stage re-executes per consumer
     ref_sigs = _materialize(build_signatures(ref_docs, cfg, id_col, text_col), True)
     cand_sigs = _materialize(build_signatures(cand_docs, cfg, id_col, text_col), True)
+    return refs_edges_from_signatures(ref_sigs, cand_sigs, tol, cfg)
 
+
+def refs_edges_from_signatures(
+    ref_sigs: DataFrame,
+    cand_sigs: DataFrame,
+    tolerance: float,
+    cfg: SigConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """:func:`search_with_references` over ALREADY-BUILT signature tables —
+    the entry point for callers that persist signatures (the incremental
+    plan, the signature store, streaming ingest) and must not pay the Arrow
+    kernel again.  Both inputs must be :func:`build_signatures` output (or
+    a store read of it); both feed two consumers here, so materialize them
+    first if they have a recompute upstream.
+
+    Returns (ref_id, cand_id, token_hamming).
+    """
     rk = band_keys(ref_sigs, cfg).select("band_id", "band_hash", F.col("id").alias("id1"))
     ck = band_keys(cand_sigs, cfg).select("band_id", "band_hash", F.col("id").alias("id2"))
     pairs = rk.join(ck, ["band_id", "band_hash"]).select("id1", "id2").distinct()
@@ -139,7 +156,7 @@ def search_with_references(
     )
     matched = both.where(
         ref_length_band(cfg, F.col("len1"), F.col("len2"))
-        & tolerance_predicate(cfg, tol)
+        & tolerance_predicate(cfg, tolerance)
         & (F.col("id1") != F.col("id2"))
     )
     return matched.select(
