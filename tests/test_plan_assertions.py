@@ -129,3 +129,39 @@ def test_eval_coverage_training_side_never_shuffles_on_ngram(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "ngram_md5" not in line, line
+
+
+def test_first_wins_dedup_winner_rule_is_join_free(spark):
+    """PLANS.md §8: dedup_lines_first_wins computes the kept set as a pure
+    min(struct) aggregation — the only join in the whole plan is the final
+    spine restore (left join on the doc id).  A window-function or
+    join-back formulation would show up here as a second join or a
+    partitioned-by-line Window node concentrating hot lines."""
+    from vid_dup_finder_lib_spark.operators.boilerplate import (
+        dedup_lines_first_wins,
+    )
+
+    lined = spark.createDataFrame(
+        [(1, ["a b", "c d"]), (2, ["c d", "e f"])],
+        "doc_id long, lines array<string>",
+    )
+    plan = _plan(dedup_lines_first_wins(lined))
+    assert plan.count("Join type:") == 1, plan
+    assert "Window" not in plan
+
+
+def test_bloom_probe_is_shuffle_free(spark):
+    """PLANS.md §8: the Bloom membership probe is ONE map-side Arrow pass —
+    scan -> pandas UDF -> filter, zero Exchange on the incoming side (the
+    bitmap ships via broadcast variable, invisible to the plan)."""
+    import numpy as np
+
+    from vid_dup_finder_lib_spark.operators.membership import (
+        bloom_build,
+        bloom_candidates,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "key long")
+    words = bloom_build(df, "key", 1 << 10, 3)
+    plan = _plan(bloom_candidates(df, "key", words, 1 << 10, 3))
+    assert "Exchange" not in plan, plan
