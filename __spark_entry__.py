@@ -1278,6 +1278,27 @@ def q_streamed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pair_line_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-pair changed-region summary (operators/verify.pair_line_diff):
+    shared / only-left / only-right 8-token-line counts for every verified
+    near-dup edge — the text analogue of the reference GUI's side-by-side
+    matched-thumbnail review (what exactly matched, before a human
+    confirms or falsepos-es the pair)."""
+    from vid_dup_finder_lib_spark.functions.textstats import token_lines
+    from vid_dup_finder_lib_spark.operators.verify import pair_line_diff
+
+    derived = _derived_neardup(_docs(spark, sf_dir))
+    lined = derived.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_lines(F.col("text"), 8).alias("lines"),
+    )
+    pairs = _lsh_edges(spark, sf_dir).select(
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"),
+    )
+    return pair_line_diff(pairs, lined)
+
+
 def q_streamed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental NEAR-dup ingest made oracle-visible (the
     fourth streaming output under the gate): RUNS the
@@ -1948,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_sessions": q_streamed_sessions,
         "streamed_dedup": q_streamed_dedup,
         "streamed_neardup": q_streamed_neardup,
+        "pair_line_diff": q_pair_line_diff,
         "repeated_line_strip": q_repeated_line_strip,
         "paragraph_dedup_rewrite": q_paragraph_dedup_rewrite,
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
@@ -2450,6 +2472,27 @@ SELECT doc_id, n_lines,
        len(kept_lines)::BIGINT AS n_kept,
        md5(array_to_string(kept_lines, chr(10))) AS kept_md5
 FROM kept
+""",
+        # matched-pair changed-region summary over the verified LSH edges:
+        # distinct 8-token-line set algebra per jpair
+        "pair_line_diff": _SQL_PROLOGUE + r"""
+, dlines AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[] ELSE
+      list_distinct(list_transform(range(0, (len(toks) + 7) // 8),
+                    i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ')))
+    END AS ls
+  FROM derived
+)
+SELECT j.id1, j.id2,
+  len(a.ls)::BIGINT AS n_lines1,
+  len(b.ls)::BIGINT AS n_lines2,
+  len(list_intersect(a.ls, b.ls))::BIGINT AS n_shared,
+  (len(a.ls) - len(list_intersect(a.ls, b.ls)))::BIGINT AS n_only1,
+  (len(b.ls) - len(list_intersect(a.ls, b.ls)))::BIGINT AS n_only2
+FROM jpairs j
+JOIN dlines a ON a.doc_id = j.id1
+JOIN dlines b ON b.doc_id = j.id2
 """,
         # single-batch streaming near-dup ingest: CC (min label) over pairs
         # within token-hamming radius 20 + 1.10 length band, over the

@@ -134,6 +134,7 @@ def main() -> None:
         "bloom_incremental_dedup",
         "corpus_mix_report",
         "streamed_neardup",
+        "pair_line_diff",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}

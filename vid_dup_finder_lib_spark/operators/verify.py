@@ -195,3 +195,49 @@ def verified_edges(
         out_cols.insert(2, "union_count")
         out_cols.insert(2, "inter_count")
     return d.select(*out_cols)
+
+
+def pair_line_diff(
+    pairs: DataFrame,
+    lined: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+) -> DataFrame:
+    """Per matched pair: shared / only-left / only-right DISTINCT-line
+    counts — the text analogue of the reference GUI's side-by-side
+    matched-thumbnail inspection (vid_dup_finder_app/src/app/gui: a human
+    reviews WHAT matched before confirming/falsepos-ing a pair; here the
+    reviewer gets the changed-region summary instead of pixels).
+
+    Input: a pair table (id1, id2) and ``(id, lines: array<string>)`` docs
+    (e.g. ``textstats.token_lines`` re-lining).  Output::
+
+        (id1, id2, n_lines1, n_lines2, n_shared, n_only1, n_only2)
+
+    with set semantics per side (duplicate lines within one doc count
+    once).  Scale shape: identical to ``attach_signatures`` — two equi-
+    joins ship each side's (deduplicated) line array to the pair keys
+    once; the intersect/except arithmetic is pure codegen on the pair
+    rows.  At corpus scale the line arrays dominate stage bytes exactly
+    like shingle arrays do, so callers should pass only matched pairs
+    (LSH-verified edges), never candidates.
+    """
+    sets_ = lined.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.col(lines_col)).alias("ls"),
+    )
+    j = (
+        pairs.select("id1", "id2")
+        .join(sets_.select(F.col("id").alias("id1"), F.col("ls").alias("ls1")), "id1")
+        .join(sets_.select(F.col("id").alias("id2"), F.col("ls").alias("ls2")), "id2")
+    )
+    shared = F.size(F.array_intersect("ls1", "ls2")).cast("long")
+    return j.select(
+        "id1",
+        "id2",
+        F.size("ls1").cast("long").alias("n_lines1"),
+        F.size("ls2").cast("long").alias("n_lines2"),
+        shared.alias("n_shared"),
+        (F.size("ls1").cast("long") - shared).alias("n_only1"),
+        (F.size("ls2").cast("long") - shared).alias("n_only2"),
+    )
