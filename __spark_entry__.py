@@ -1278,6 +1278,42 @@ def q_streamed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (containment) near-dup pairs
+    (operators/dedup.shingle_containment_pairs, threshold 9/10).  Planted
+    ground truth: every 6th doc gains a +500000 'syndicated' copy = the doc
+    followed by q-/z-prefixed token mutations of itself — the original is
+    ~100 % CONTAINED in the triple-length wrapper while symmetric Jaccard
+    sits near 1/3 (below the 2/5 main-path threshold) and the 1.10 length
+    band fails outright: exactly the superset-dup class the symmetric
+    pipeline structurally misses.  Natural near-identical fixture pairs
+    surface too, identically in both engines (exact explode-join — no LSH
+    recall caveat)."""
+    from vid_dup_finder_lib_spark.operators.dedup import shingle_containment_pairs
+
+    docs = _docs(spark, sf_dir, widen=False)
+    d = F.col("doc_id").cast("long")
+    toks = tokens_col(normalize_text(F.col("text")))
+    quoted = docs.where(d % 6 == 0).select(
+        (d + 500000).alias("doc_id"),
+        F.array_join(
+            F.concat(
+                toks,
+                F.transform(toks, lambda x: F.concat(F.lit("q"), x)),
+                F.transform(toks, lambda x: F.concat(F.lit("z"), x)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.select(d.alias("doc_id"), "text").unionByName(quoted)
+    sigs = build_signatures(
+        corpus, ENTRY_CFG, id_col="doc_id", text_col="text"
+    ).localCheckpoint(eager=True)
+    return shingle_containment_pairs(sigs, 9, 10).select(
+        "id1", "id2", "inter_count", "sc1", "sc2"
+    )
+
+
 def q_pair_line_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matched-pair changed-region summary (operators/verify.pair_line_diff):
     shared / only-left / only-right 8-token-line counts for every verified
@@ -1970,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_dedup": q_streamed_dedup,
         "streamed_neardup": q_streamed_neardup,
         "pair_line_diff": q_pair_line_diff,
+        "containment_pairs": q_containment_pairs,
         "repeated_line_strip": q_repeated_line_strip,
         "paragraph_dedup_rewrite": q_paragraph_dedup_rewrite,
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
@@ -2472,6 +2509,48 @@ SELECT doc_id, n_lines,
        len(kept_lines)::BIGINT AS n_kept,
        md5(array_to_string(kept_lines, chr(10))) AS kept_md5
 FROM kept
+""",
+        # asymmetric containment pairs over base + planted syndication
+        # wrappers (doc ++ q-mut ++ z-mut): inter/min >= 9/10, no length band
+        "containment_pairs": r"""
+WITH norm AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN []::VARCHAR[] ELSE string_split(norm, ' ') END AS toks
+  FROM norm
+),
+corpus AS (
+  SELECT doc_id, toks FROM tok
+  UNION ALL
+  SELECT doc_id + 500000,
+         toks || list_transform(toks, x -> 'q' || x) || list_transform(toks, x -> 'z' || x)
+  FROM tok WHERE doc_id % 6 = 0
+),
+dsh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE []::VARCHAR[] END AS shingles
+  FROM corpus
+),
+ex AS (
+  SELECT doc_id, len(shingles)::BIGINT AS sc, unnest(shingles) AS shg
+  FROM dsh WHERE len(shingles) > 0
+),
+rawpairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sc AS sc1, b.sc AS sc2,
+         count(*)::BIGINT AS inter_count
+  FROM ex a JOIN ex b ON a.shg = b.shg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id1, id2, inter_count, sc1, sc2
+FROM rawpairs
+WHERE inter_count * 10 >= least(sc1, sc2) * 9
 """,
         # matched-pair changed-region summary over the verified LSH edges:
         # distinct 8-token-line set algebra per jpair

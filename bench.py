@@ -135,6 +135,7 @@ def main() -> None:
         "corpus_mix_report",
         "streamed_neardup",
         "pair_line_diff",
+        "containment_pairs",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}

@@ -240,3 +240,35 @@ def test_neardup_survivors_partitioning_invariance(spark):
     b = sorted(map(tuple, neardup_survivors(docs.repartition(13), cc.repartition(7)).collect()))
     assert a == b
     assert len(a) == 20 + 100  # 20 five-doc clusters + 100 singletons
+
+
+# ---------------------------------------------------------------------------
+# shingle_containment_pairs (asymmetric / superset dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_superset_jaccard_misses(spark):
+    """A doc fully embedded in a 3x wrapper: containment ~1 (caught at
+    9/10) while symmetric Jaccard ~1/3 (missed at 2/5) and the 1.10 length
+    band fails — the exact class the operator exists for."""
+    from vid_dup_finder_lib_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_containment_pairs,
+    )
+
+    words = [f"w{i}" for i in range(60)]
+    a = " ".join(words)
+    wrapper = " ".join(words + [f"q{w}" for w in words] + [f"z{w}" for w in words])
+    unrelated = " ".join(f"u{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, a), (2, wrapper), (3, unrelated)], "doc_id long, text string"
+    )
+    sigs = build_signatures(docs, CFG, id_col="doc_id", text_col="text")
+    cont = {
+        (r["id1"], r["id2"]) for r in shingle_containment_pairs(sigs, 9, 10).collect()
+    }
+    assert cont == {(1, 2)}
+    jac = {
+        (r["id1"], r["id2"]) for r in ngram_jaccard_pairs(sigs, 2, 5).collect()
+    }
+    assert (1, 2) not in jac
