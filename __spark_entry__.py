@@ -1278,6 +1278,22 @@ def q_streamed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corpus-novelty score (operators/dedup.shingle_novelty_scores)
+    over the derived near-dup corpus: base docs and their mutated twins
+    share ~70 % of shingles, so both report low novelty — the doc-level
+    duplication signal that needs no pairwise threshold."""
+    from vid_dup_finder_lib_spark.operators.dedup import shingle_novelty_scores
+
+    sigs = _neardup_signatures(_docs(spark, sf_dir))
+    return shingle_novelty_scores(sigs).select(
+        F.col("id").cast("long").alias("doc_id"),
+        "shingle_count",
+        "n_dup_shingles",
+        "novelty_ppm",
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric (containment) near-dup pairs
     (operators/dedup.shingle_containment_pairs, threshold 9/10).  Planted
@@ -2007,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streamed_neardup": q_streamed_neardup,
         "pair_line_diff": q_pair_line_diff,
         "containment_pairs": q_containment_pairs,
+        "doc_novelty": q_doc_novelty,
         "repeated_line_strip": q_repeated_line_strip,
         "paragraph_dedup_rewrite": q_paragraph_dedup_rewrite,
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
@@ -2509,6 +2526,26 @@ SELECT doc_id, n_lines,
        len(kept_lines)::BIGINT AS n_kept,
        md5(array_to_string(kept_lines, chr(10))) AS kept_md5
 FROM kept
+""",
+        # per-doc corpus-novelty score over the derived corpus: df>=2
+        # shingles are "duplicated"; novelty in integer ppm; zero-shingle
+        # docs report 1e6
+        "doc_novelty": _SQL_PROLOGUE + r"""
+, ex2 AS (SELECT doc_id, unnest(shingles) AS shg FROM dsh),
+dfreq AS (SELECT shg, count(*)::BIGINT AS df FROM ex2 GROUP BY 1),
+per_doc AS (
+  SELECT e.doc_id,
+         sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+  FROM ex2 e JOIN dfreq f USING (shg) GROUP BY 1
+)
+SELECT d.doc_id,
+       len(d.shingles)::BIGINT AS shingle_count,
+       coalesce(p.n_dup, 0)::BIGINT AS n_dup_shingles,
+       CASE WHEN len(d.shingles) = 0 THEN 1000000
+            ELSE ((len(d.shingles) - coalesce(p.n_dup, 0))::HUGEINT * 1000000
+                  // len(d.shingles))
+       END::BIGINT AS novelty_ppm
+FROM dsh d LEFT JOIN per_doc p USING (doc_id)
 """,
         # asymmetric containment pairs over base + planted syndication
         # wrappers (doc ++ q-mut ++ z-mut): inter/min >= 9/10, no length band

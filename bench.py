@@ -136,6 +136,7 @@ def main() -> None:
         "streamed_neardup",
         "pair_line_diff",
         "containment_pairs",
+        "doc_novelty",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}

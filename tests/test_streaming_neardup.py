@@ -3,6 +3,7 @@ across micro-batches against the persisted survivor store; only novel docs
 admitted; replayed/empty triggers are no-ops."""
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from vid_dup_finder_lib_spark.config import SigConfig
 from vid_dup_finder_lib_spark.corpus import CorpusBuilder
@@ -108,3 +109,43 @@ def test_incremental_neardup_across_batches(spark, tmp_path):
     _run(spark, src, out, ckpt, store)
     assert {b for (b, _i) in _read_out(spark, out)} == {0, 1, 2}
     assert {r["id"] for r in store.read(spark).collect()} == survivors
+
+
+def test_replay_after_upsert_is_idempotent(spark, tmp_path):
+    """The crash-replay property foreachBatch relies on: re-deriving
+    canonicals for a batch whose survivors were ALREADY upserted yields the
+    identical assignment (survivors self-match only via the excluded
+    same-id edge; their batch partners re-match them as store edges and
+    land on the same canonical)."""
+    from vid_dup_finder_lib_spark.operators.signatures import build_signatures
+    from vid_dup_finder_lib_spark.streaming.neardup import assign_canonicals
+
+    tx = _texts()
+    store = PartitionedSignatureStore(
+        str(tmp_path / "store"), CFG, num_buckets=8
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(url="a1", text=tx["a"]),
+            Row(url="a9", text=tx["a"]),        # in-batch dup of a1
+            Row(url="b1", text=tx["b"]),
+        ],
+        SCHEMA,
+    )
+    sigs = build_signatures(batch, CFG, "url", "text").localCheckpoint(eager=True)
+    first = sorted(
+        map(tuple, assign_canonicals(spark, sigs, store, CFG, TOL).collect())
+    )
+    assert first == [
+        ("a1", "a1", True), ("a9", "a1", False), ("b1", "b1", True),
+    ]
+    survivors = sigs.where(F.col("id").isin("a1", "b1"))
+    store.write_full(survivors, id_col="id")
+    # replay: same batch, store now already contains this batch's survivors
+    replay = sorted(
+        map(tuple, assign_canonicals(spark, sigs, store, CFG, TOL).collect())
+    )
+    assert replay == first
+    # and a second upsert of the same survivors is a content no-op
+    store.upsert(survivors, id_col="id")
+    assert {r["id"] for r in store.read(spark).collect()} == {"a1", "b1"}
