@@ -1491,6 +1491,30 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frequent_line_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate audit view (operators/boilerplate.frequent_line_topk):
+    top-10 corpus lines by document frequency over the same planted
+    nav/footer corpus as repeated_line_strip — the report an operator
+    reads to pick min_df before enabling the strip.  Rank is assigned
+    without any global window (bounded broadcast self-join over <= k
+    rows)."""
+    from vid_dup_finder_lib_spark.functions.textstats import token_lines
+    from vid_dup_finder_lib_spark.operators.boilerplate import frequent_line_topk
+
+    docs = _docs(spark, sf_dir, widen=False)
+    d = F.col("doc_id").cast("long")
+    empty = F.array().cast("array<string>")
+    lined = docs.select(
+        d.alias("doc_id"),
+        F.concat(
+            token_lines(F.col("text"), 8),
+            F.when(d % 4 == 0, F.array(F.lit(_NAV_LINE))).otherwise(empty),
+            F.when(d % 9 == 0, F.array(F.lit(_FOOTER_LINE))).otherwise(empty),
+        ).alias("lines"),
+    )
+    return frequent_line_topk(lined, k=10)
+
+
 def q_domain_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain exact-duplicate share (operators/dedup.dup_share_by_key):
     the mirror-site / spam-domain drop signal.  Planted ground truth: every
@@ -2024,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_line_diff": q_pair_line_diff,
         "containment_pairs": q_containment_pairs,
         "doc_novelty": q_doc_novelty,
+        "frequent_line_topk": q_frequent_line_topk,
         "repeated_line_strip": q_repeated_line_strip,
         "paragraph_dedup_rewrite": q_paragraph_dedup_rewrite,
         "bloom_incremental_dedup": q_bloom_incremental_dedup,
@@ -2725,6 +2750,43 @@ incoming AS (
 )
 SELECT i.doc_id, (i.h IN (SELECT h FROM corpus)) AS is_dup
 FROM incoming i
+""",
+        # boilerplate audit: top-10 lines by distinct-doc df over the same
+        # planted nav/footer corpus; (df desc, line asc) total order
+        "frequent_line_topk": r"""
+WITH norm AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN []::VARCHAR[] ELSE string_split(norm, ' ') END AS toks
+  FROM norm
+),
+lines0 AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[] ELSE
+      list_transform(range(0, (len(toks) + 7) // 8),
+                     i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' '))
+    END AS lines
+  FROM tok
+),
+planted AS (
+  SELECT doc_id,
+    lines ||
+    (CASE WHEN doc_id % 4 = 0
+          THEN ['subscribe to our newsletter follow us on twitter']
+          ELSE []::VARCHAR[] END) ||
+    (CASE WHEN doc_id % 9 = 0
+          THEN ['all rights reserved terms of use privacy policy']
+          ELSE []::VARCHAR[] END) AS lines
+  FROM lines0
+),
+ex AS (SELECT DISTINCT doc_id, unnest(lines) AS line FROM planted),
+freq AS (SELECT line, count(*)::BIGINT AS df FROM ex GROUP BY 1)
+SELECT row_number() OVER (ORDER BY df DESC, line ASC) AS rank, line, df
+FROM freq ORDER BY df DESC, line ASC LIMIT 10
 """,
         # per-domain exact-dup share with a planted mirror source (every
         # 5th doc copied verbatim): mirror = 100 % dups -> flagged at >1/2

@@ -137,6 +137,7 @@ def main() -> None:
         "pair_line_diff",
         "containment_pairs",
         "doc_novelty",
+        "frequent_line_topk",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}

@@ -215,3 +215,39 @@ def test_first_wins_vs_naive(spark, fw_lined):
         for r in dedup_lines_first_wins(fw_lined).collect()
     }
     assert got == expect
+
+
+def test_first_wins_property_random_corpora(spark):
+    """Randomized parity vs the naive serial first-wins rule: any corpus of
+    docs over a tiny line alphabet (maximizing cross-doc and intra-doc
+    collisions) must match the O(n) reference implementation exactly."""
+    import random
+
+    rng = random.Random(20260817)
+    alphabet = [f"line {c}" for c in "abcdefg"]
+    for trial in range(4):
+        n_docs = rng.randint(1, 12)
+        rows = []
+        for i in range(n_docs):
+            n_lines = rng.randint(0, 8)
+            rows.append(
+                (i, [rng.choice(alphabet) for _ in range(n_lines)])
+            )
+        seen: set[str] = set()
+        expect = {}
+        for doc_id, lines in rows:
+            kept = []
+            for ln in lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            expect[doc_id] = (len(lines), len(kept), _md5_lines(kept))
+        shuffled = rows[:]
+        rng.shuffle(shuffled)  # input order must not matter
+        got = {
+            r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_md5"])
+            for r in dedup_lines_first_wins(
+                _lined(spark, shuffled).repartition(rng.randint(1, 8))
+            ).collect()
+        }
+        assert got == expect, f"trial {trial}"

@@ -327,3 +327,50 @@ def dedup_lines_first_wins(
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
     )
+
+
+def frequent_line_topk(
+    lined: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+) -> DataFrame:
+    """The audit view of :func:`strip_frequent_lines`: the corpus' top-k
+    most-frequent lines with their document frequency and rank — what an
+    operator reviews to pick ``min_df`` BEFORE turning the strip on (and
+    the report a pipeline run attaches to its lineage so "what got
+    stripped" is never invisible).
+
+    Output: ``(rank, line, df)``, rank 1-based under the deterministic
+    total order (df descending, then line ascending).
+
+    Scale shape: distinct-by-doc df in the same two skew-safe hops as the
+    strip, then a global top-k — Spark plans ``orderBy().limit(k)`` as
+    TakeOrderedAndProject (per-partition heaps, a k-row driver merge),
+    never a full sort.  Rank is assigned WITHOUT a global window (the repo
+    rule): a broadcast self-join over the <= k surviving rows counts the
+    rows sorting strictly before each one.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    df = (
+        lined.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.col(lines_col)).alias("line"),
+        )
+        .select("line", "id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    top = df.orderBy(F.desc("df"), F.asc("line")).limit(k)
+    o = top.select(F.col("line").alias("o_line"), F.col("df").alias("o_df"))
+    before = (F.col("o_df") > F.col("df")) | (
+        (F.col("o_df") == F.col("df")) & (F.col("o_line") < F.col("line"))
+    )
+    return (
+        top.join(F.broadcast(o), before, "left")
+        .groupBy("line", "df")
+        .agg((F.count("o_line") + 1).cast("long").alias("rank"))
+        .select("rank", "line", "df")
+    )
