@@ -295,3 +295,53 @@ def test_job_cli_quality_gate(spark, tmp_path):
     groups = spark.read.parquet(out_path)
     sizes = sorted(r["count"] for r in groups.groupBy("cluster_id").count().collect())
     assert sizes == [4, 5]
+
+
+def test_job_cli_dedup_paragraphs(spark, tmp_path):
+    """--dedup-paragraphs: the RefinedWeb first-occurrence-wins rewrite runs
+    as a checkpointed stage — a shared paragraph survives only in the
+    lexicographically-first url's doc, drop counts are durable lineage, and
+    downstream grouping still works on the rewritten text."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=77)
+    cb.make_clusters(
+        num_clusters=1, first_size=4, size_step=0, intra_d=10, inter_d=200, doclen=400
+    )
+    docs = cb.to_spark(spark, partitions=2)
+    ts = docs.select("warc_ts").first()[0]
+    shared = "identical promo paragraph injected into both docs here now"
+    extra = spark.createDataFrame(
+        [
+            Row(url="zz://a", warc_ts=ts, html=bytearray(b""),
+                text=shared + " plus alpha specific trailing content one two",
+                lang="en"),
+            Row(url="zz://b", warc_ts=ts, html=bytearray(b""),
+                text=shared + " plus beta specific trailing content três quatro",
+                lang="en"),
+        ],
+        docs.schema,
+    )
+    docs_path = str(tmp_path / "docs")
+    docs.unionByName(extra).write.parquet(docs_path)
+    ckpt = str(tmp_path / "ckpt")
+    rc = job.main(
+        [
+            "--docs", docs_path,
+            "--checkpoint", ckpt,
+            "--tolerance", "0.100",
+            "--dedup-paragraphs",
+        ]
+    )
+    assert rc == 0
+    stage = spark.read.parquet(str(tmp_path / "ckpt" / "docs_paragraphs" / "data"))
+    rows = {r["url"]: r for r in stage.where(F.col("url").startswith("zz://")).collect()}
+    assert set(rows) == {"zz://a", "zz://b"}
+    # first url keeps the shared 8-token line; second loses exactly it
+    assert rows["zz://a"]["n_kept"] == rows["zz://a"]["n_lines"]
+    assert rows["zz://b"]["n_kept"] == rows["zz://b"]["n_lines"] - 1
+    assert shared.split()[0] in rows["zz://a"]["text"]
+    assert rows["zz://b"]["text"].startswith("plus beta") or shared.split()[0] not in rows["zz://b"]["text"]

@@ -263,6 +263,7 @@ def dedup_lines_first_wins(
     lined: DataFrame,
     id_col: str = "doc_id",
     lines_col: str = "lines",
+    emit_text: bool = False,
 ) -> DataFrame:
     """Corpus-global exact paragraph/line dedup, first-occurrence-wins —
     the RefinedWeb / "exact substring dedup at paragraph granularity"
@@ -280,6 +281,10 @@ def dedup_lines_first_wins(
     with ``kept_md5`` = md5 of the surviving lines joined by ``\\n`` in
     original order (the downstream exact-dedup key), matching the
     :func:`strip_frequent_lines` contract so the two strips compose.
+    ``emit_text=True`` additionally materializes ``text_kept`` (the
+    surviving lines joined by a space, the hash's preimage re-joined for
+    downstream tokenization) for pipeline-stage use, where the rewritten
+    document feeds the signature kernel.
 
     Scale shape (100 TB): the whole operator is ONE map-side-combinable
     aggregation plus one regroup — no join anywhere.  The kept set is
@@ -319,14 +324,23 @@ def dedup_lines_first_wins(
                     "\n",
                 )
             ).alias("kept_md5"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("text_kept"),
         )
     )
-    return spine.join(kept, "id", "left").select(
+    out = spine.join(kept, "id", "left").select(
         F.col("id").alias(id_col),
         "n_lines",
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        F.coalesce("text_kept", F.lit("")).alias("text_kept"),
     )
+    return out if emit_text else out.drop("text_kept")
 
 
 def frequent_line_topk(

@@ -73,6 +73,16 @@ def main(argv: list[str] | None = None) -> int:
         help="short-doc cutoff for --quality-gate (default 50)",
     )
     p.add_argument(
+        "--dedup-paragraphs", action="store_true",
+        help="corpus-global first-occurrence-wins paragraph dedup as a "
+             "rewrite stage before signature work (RefinedWeb exact "
+             "paragraph dedup; drop lineage durable in docs_paragraphs)",
+    )
+    p.add_argument(
+        "--paragraph-line-tokens", type=int, default=8, metavar="N",
+        help="tokens per re-lined paragraph for --dedup-paragraphs (default 8)",
+    )
+    p.add_argument(
         "--restore", metavar="STAGE",
         help="restore STAGE's newest retained snapshot generation and exit "
              "(repeatable restores walk further back; the reference keeps "
@@ -110,6 +120,12 @@ def main(argv: list[str] | None = None) -> int:
                     {"quality_gate": True,
                      "quality_min_tokens": args.quality_min_tokens}
                     if args.quality_gate
+                    else {}
+                ),
+                **(
+                    {"dedup_paragraphs": True,
+                     "paragraph_line_tokens": args.paragraph_line_tokens}
+                    if args.dedup_paragraphs
                     else {}
                 ),
             },
@@ -153,6 +169,8 @@ def main(argv: list[str] | None = None) -> int:
         boilerplate_min_df=tuple(int(x) for x in args.boilerplate_min_df.split("/")),
         quality_gate=args.quality_gate,
         quality_min_tokens=args.quality_min_tokens,
+        dedup_paragraphs=args.dedup_paragraphs,
+        paragraph_line_tokens=args.paragraph_line_tokens,
         reload_errors=args.reload_errs,
     )
     if args.output:

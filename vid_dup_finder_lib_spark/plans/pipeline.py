@@ -55,6 +55,8 @@ def run_dedup_pipeline(
     boilerplate_min_df: tuple[int, int] = (1, 2),
     quality_gate: bool = False,
     quality_min_tokens: int = 50,
+    dedup_paragraphs: bool = False,
+    paragraph_line_tokens: int = 8,
     reload_errors: bool = False,
     signature_buckets: int = 64,
 ) -> PipelineResult:
@@ -95,6 +97,9 @@ def run_dedup_pipeline(
     if quality_gate:
         extra_fp["quality_gate"] = True
         extra_fp["quality_min_tokens"] = quality_min_tokens
+    if dedup_paragraphs:
+        extra_fp["dedup_paragraphs"] = True
+        extra_fp["paragraph_line_tokens"] = paragraph_line_tokens
     store = CheckpointStore(checkpoint_root, cfg, extra_fingerprint=extra_fp)
     tol = cfg.default_tolerance if tolerance is None else tolerance
 
@@ -149,6 +154,37 @@ def run_dedup_pipeline(
         docs = store.run_stage(
             spark, "docs_quality", _quality, upstream=["docs"], force=force
         )
+
+    if dedup_paragraphs:
+        from pyspark.sql import functions as F
+
+        from vid_dup_finder_lib_spark.functions.textstats import token_lines
+        from vid_dup_finder_lib_spark.operators import boilerplate as bp
+
+        def _para_dedup():
+            # RefinedWeb-style corpus-global first-occurrence-wins paragraph
+            # dedup as a rewrite stage: the rewritten text (surviving lines
+            # re-joined) feeds the signature kernel; drop lineage (n_lines,
+            # n_kept) is durable in the stage table, never silent
+            lined = docs.select(
+                F.col(id_col),
+                token_lines(F.col(text_col), paragraph_line_tokens).alias(
+                    "__lines"
+                ),
+            )
+            out = bp.dedup_lines_first_wins(
+                lined, id_col=id_col, lines_col="__lines", emit_text=True
+            )
+            return out.select(
+                F.col(id_col),
+                F.col("text_kept").alias(text_col),
+                "n_lines",
+                "n_kept",
+            ).join(docs.select(id_col, ts_col), id_col)
+
+        docs = store.run_stage(
+            spark, "docs_paragraphs", _para_dedup, upstream=["docs"], force=force
+        ).drop("n_lines", "n_kept")
 
     # Signatures persist in the hash-partitioned store: compute is O(delta)
     # (only changed docs hit the Arrow kernel) AND the write is O(delta)
