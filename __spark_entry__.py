@@ -380,6 +380,27 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-validation report: per near-dup cluster, member count vs
+    DISTINCT exact-content count (the collapse a pure exact-dedup would
+    already achieve).  n_distinct == 1 means the cluster is exact-dup-
+    redundant; n_distinct == n_members means every member is textually
+    unique and the cluster exists only because of NEAR-dup structure — the
+    ratio is what a pipeline owner checks before trusting fuzzy collapse.
+    One groupBy over the CC assignment joined to the signature table's
+    content hash; map-side combinable."""
+    sigs, _edges, cc = _sigs_edges_cc(spark, sf_dir)
+    h = sigs.select(F.col("id").cast("long").alias("doc_id"), "content_hash")
+    return (
+        cc.join(h, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.countDistinct("content_hash").cast("long").alias("n_distinct_contents"),
+        )
+    )
+
+
 def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix composition report: token-weighted corpus shares by
     (DETECTED language, 50-token length bucket) — the table a data-mix
@@ -2013,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_report": q_corpus_mix_report,
         "connected_components": q_connected_components,
         "cluster_members": q_cluster_members,
+        "cluster_purity": q_cluster_purity,
         "cluster_capped_sample": q_cluster_capped_sample,
         "stratified_sample": q_stratified_sample,
         "group_stats": q_group_stats,
@@ -2114,6 +2136,18 @@ cc AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM walk GROUP BY id)
 SELECT cluster_id, count(*)::BIGINT AS n_members,
        array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS members
 FROM cc GROUP BY 1
+""",
+        # per-cluster member count vs distinct exact contents (sha256 over
+        # the derived text, matching the engine's JVM sha2 content hash)
+        "cluster_purity": prologue_r + sql_cc + r"""
+, dtext AS (
+  SELECT doc_id, sha256(array_to_string(toks, ' ')) AS content_hash
+  FROM derived
+)
+SELECT c.cluster_id, count(*)::BIGINT AS n_members,
+       count(DISTINCT t.content_hash)::BIGINT AS n_distinct_contents
+FROM cc c JOIN dtext t USING (doc_id)
+GROUP BY 1
 """,
         # deterministic per-cluster downsampling: md5(doc_id) is a
         # seedless cross-engine shuffle order
