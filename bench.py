@@ -138,6 +138,7 @@ def main() -> None:
         "containment_pairs",
         "doc_novelty",
         "frequent_line_topk",
+        "cluster_purity",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}
