@@ -401,6 +401,41 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_redundancy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone one-row corpus-redundancy summary a pipeline owner
+    reads after a run: doc count, exact-dup classes and their redundant-doc
+    count, near-dup clusters and theirs, and the surviving-doc count after
+    fuzzy collapse (survivor per cluster + singletons = neardup_survivors'
+    cardinality) — every number derived from the same stages the per-row
+    queries expose, aggregated map-side into one row."""
+    sigs, _edges, cc = _sigs_edges_cc(spark, sf_dir)
+    n_docs = sigs.count()
+    h = sigs.groupBy("content_hash").agg(F.count(F.lit(1)).alias("n"))
+    exact = h.agg(
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("n_exact_classes"),
+        F.sum(F.when(F.col("n") >= 2, F.col("n") - 1).otherwise(0)).alias(
+            "n_exact_redundant"
+        ),
+    )
+    near = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("m")).agg(
+        F.count(F.lit(1)).alias("n_neardup_clusters"),
+        F.sum(F.col("m") - 1).alias("n_neardup_redundant"),
+    )
+    return (
+        exact.crossJoin(near)
+        .select(
+            F.lit(n_docs).cast("long").alias("n_docs"),
+            F.col("n_exact_classes").cast("long"),
+            F.col("n_exact_redundant").cast("long"),
+            F.col("n_neardup_clusters").cast("long"),
+            F.col("n_neardup_redundant").cast("long"),
+            (F.lit(n_docs) - F.col("n_neardup_redundant"))
+            .cast("long")
+            .alias("n_surviving_docs"),
+        )
+    )
+
+
 def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix composition report: token-weighted corpus shares by
     (DETECTED language, 50-token length bucket) — the table a data-mix
@@ -2035,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "cluster_members": q_cluster_members,
         "cluster_purity": q_cluster_purity,
+        "corpus_redundancy_report": q_corpus_redundancy_report,
         "cluster_capped_sample": q_cluster_capped_sample,
         "stratified_sample": q_stratified_sample,
         "group_stats": q_group_stats,
@@ -2136,6 +2172,33 @@ cc AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM walk GROUP BY id)
 SELECT cluster_id, count(*)::BIGINT AS n_members,
        array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS members
 FROM cc GROUP BY 1
+""",
+        # one-row corpus redundancy capstone: exact classes + near-dup
+        # clusters + fuzzy-collapse survivor count
+        "corpus_redundancy_report": prologue_r + sql_cc + r"""
+, dtext AS (
+  SELECT doc_id, sha256(array_to_string(toks, ' ')) AS content_hash
+  FROM derived
+),
+ecls AS (
+  SELECT content_hash, count(*)::BIGINT AS n FROM dtext GROUP BY 1
+),
+e AS (
+  SELECT sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_exact_classes,
+         sum(CASE WHEN n >= 2 THEN n - 1 ELSE 0 END)::BIGINT AS n_exact_redundant
+  FROM ecls
+),
+csz AS (SELECT cluster_id, count(*)::BIGINT AS m FROM cc GROUP BY 1),
+nn AS (
+  SELECT count(*)::BIGINT AS n_neardup_clusters,
+         sum(m - 1)::BIGINT AS n_neardup_redundant
+  FROM csz
+),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM derived)
+SELECT nd.n_docs, e.n_exact_classes, e.n_exact_redundant,
+       nn.n_neardup_clusters, nn.n_neardup_redundant,
+       (nd.n_docs - nn.n_neardup_redundant)::BIGINT AS n_surviving_docs
+FROM nd, e, nn
 """,
         # per-cluster member count vs distinct exact contents (sha256 over
         # the derived text, matching the engine's JVM sha2 content hash)
