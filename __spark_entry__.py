@@ -320,6 +320,34 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental clustering (operators/components.incremental_components):
+    the verified edge set is split into an 'old run' (even id1) and a 'new
+    batch' (odd id1); the old half is clustered, then the new edges are
+    merged into that ASSIGNMENT (replayed as star edges — the old pairwise
+    edges are never rebuilt).  The star-contraction identity makes the
+    result provably equal to clustering all edges from scratch, so the
+    oracle is the SAME recursive-CTE CC as connected_components — the gate
+    checks the incremental path produces the identical assignment."""
+    from vid_dup_finder_lib_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    edges = _lsh_edges(spark, sf_dir).select(
+        F.col("id1").cast("long").alias("id1"), F.col("id2").cast("long").alias("id2")
+    )
+    old = edges.where(F.col("id1") % 2 == 0)
+    new = edges.where(F.col("id1") % 2 != 0)
+    prev = connected_components(old).select(
+        F.col("id"), F.col("component")
+    )
+    return incremental_components(prev, new).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+
+
 def q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: per-cluster member collection (sorted, exact)."""
     cc = q_connected_components(spark, sf_dir)
@@ -2068,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "corpus_mix_report": q_corpus_mix_report,
         "connected_components": q_connected_components,
+        "incremental_cc": q_incremental_cc,
         "cluster_members": q_cluster_members,
         "cluster_purity": q_cluster_purity,
         "corpus_redundancy_report": q_corpus_redundancy_report,
@@ -2168,6 +2197,9 @@ cc AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM walk GROUP BY id)
 
     return {
         "connected_components": prologue_r + sql_cc + "SELECT doc_id, cluster_id FROM cc",
+        # the incremental path must equal from-scratch CC (star-contraction
+        # identity) — same oracle as connected_components
+        "incremental_cc": prologue_r + sql_cc + "SELECT doc_id, cluster_id FROM cc",
         "cluster_members": prologue_r + sql_cc + r"""
 SELECT cluster_id, count(*)::BIGINT AS n_members,
        array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS members

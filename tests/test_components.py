@@ -102,3 +102,78 @@ def test_merge_cases(spark):
     edges = [(1, 2), (3, 4), (2, 3), (10, 11)]
     got = _cc_spark(spark, edges)
     assert got == {frozenset({1, 2, 3, 4}), frozenset({10, 11})}
+
+
+# ---------------------------------------------------------------------------
+# incremental_components
+# ---------------------------------------------------------------------------
+
+
+def _cc_map(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_incremental_equals_from_scratch_random(spark):
+    """CC(star(G1) ∪ G2) == CC(G1 ∪ G2) on random graphs, any split."""
+    import random
+
+    from vid_dup_finder_lib_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = random.Random(54)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(10, 80))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        cut = rng.randint(0, len(edges))
+        old = spark.createDataFrame(edges[:cut] or [(0, 1)], "id1 long, id2 long")
+        new = spark.createDataFrame(edges[cut:] or [(2, 3)], "id1 long, id2 long")
+        full = old.unionByName(new)
+        prev = connected_components(old)
+        got = _cc_map(incremental_components(prev, new))
+        want = _cc_map(connected_components(full))
+        assert got == want, f"trial {trial}"
+
+
+def test_incremental_label_stability_and_bridge(spark):
+    from vid_dup_finder_lib_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21)], "id1 long, id2 long"
+    )
+    prev = connected_components(old)
+    # no bridge: untouched old component keeps its label
+    new = spark.createDataFrame([(100, 101)], "id1 long, id2 long")
+    got = _cc_map(incremental_components(prev, new))
+    assert got[1] == got[5] == got[9] == 1
+    assert got[20] == got[21] == 20
+    assert got[100] == got[101] == 100
+    # bridge: new edge joins the two old components -> min label wins
+    bridge = spark.createDataFrame([(9, 21)], "id1 long, id2 long")
+    got2 = _cc_map(incremental_components(prev, bridge))
+    assert got2[1] == got2[5] == got2[9] == got2[20] == got2[21] == 1
+
+
+def test_incremental_singleton_carry_through(spark):
+    from vid_dup_finder_lib_spark.operators.components import (
+        incremental_components,
+    )
+
+    prev = spark.createDataFrame(
+        [(7, 7), (1, 1), (3, 1)], "id long, component long"
+    )
+    # 7 is a singleton: no new edge -> retained as its own component
+    new = spark.createDataFrame([(50, 51)], "id1 long, id2 long")
+    got = _cc_map(incremental_components(prev, new))
+    assert got[7] == 7 and got[1] == 1 and got[3] == 1 and got[50] == 50
+    # a new edge pulls the singleton into a real component
+    pull = spark.createDataFrame([(7, 2)], "id1 long, id2 long")
+    got2 = _cc_map(incremental_components(prev, pull))
+    assert got2[7] == 2 and got2[2] == 2
