@@ -193,6 +193,11 @@ def incremental_exact_dedup(
     negative guarantee and bypass the join entirely.  The output is
     therefore identical to a plain semi-join — the filter is pure plan
     optimization, which is what makes the operator oracle-checkable.
+
+    Null-content semantics: a null ``content_col`` hashes to a null sha256,
+    which equals nothing in the exact semi-join — null-text rows are
+    therefore never duplicates (of each other or of anything), the same
+    rule the batch exact-dedup path and the streaming state keys use.
     """
     h = F.sha2(F.col(content_col).cast("binary"), 256)
     key = F.xxhash64(h)

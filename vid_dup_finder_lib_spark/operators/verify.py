@@ -222,9 +222,13 @@ def pair_line_diff(
     like shingle arrays do, so callers should pass only matched pairs
     (LSH-verified edges), never candidates.
     """
+    # null line arrays (e.g. re-lining of a null text) count as empty, not
+    # as null-propagating sizes
     sets_ = lined.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(F.col(lines_col)).alias("ls"),
+        F.array_distinct(
+            F.coalesce(F.col(lines_col), F.array().cast("array<string>"))
+        ).alias("ls"),
     )
     j = (
         pairs.select("id1", "id2")
