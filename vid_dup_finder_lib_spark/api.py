@@ -162,3 +162,75 @@ def refs_edges_from_signatures(
     return matched.select(
         F.col("id1").alias("ref_id"), F.col("id2").alias("cand_id"), "token_hamming"
     )
+
+
+def search_incremental(
+    new_docs: DataFrame,
+    sigstore,
+    prev_assignment: DataFrame,
+    tolerance: float | None = None,
+    cfg: SigConfig = DEFAULT_CONFIG,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """ADDITIVE incremental self-search: fold a batch of brand-new docs
+    into an existing clustering without recomputing the old corpus.
+
+    The batch form of the reference's cache-then-rerun workflow
+    (app_fns.rs: rebuild hashes incrementally, re-search everything) with
+    the re-search made O(new): the new batch is signature-hashed once,
+    LSH-searched against ITSELF (candidate_pairs) and against the FULL
+    persisted signature store (refs_edges_from_signatures — every old doc,
+    not just survivors, so transitive closure is exact), and the resulting
+    edges are merged into ``prev_assignment`` via
+    ``components.incremental_components`` (star-contraction identity: the
+    result is provably the from-scratch clustering of the union corpus).
+    The store is then grown by the new signatures (O(delta) bucket
+    rewrite).
+
+    Returns the updated ``(id, component)`` assignment over every
+    previously-assigned node and every new doc that matched anything; the
+    caller joins back to the corpus for singletons, exactly as with
+    ``connected_components``.  Contrast with
+    ``streaming.neardup.stream_neardup_dedup``: that path keeps a
+    SURVIVOR-only store (greedy arrival-order canonicals, radius
+    semantics); this one keeps everything and preserves exact transitive
+    closure.
+
+    Constraint (documented, enforced nowhere cheaper than here): the batch
+    must be NEW ids only.  Changed or deleted docs can SPLIT components,
+    which no star-merge can express — callers with mutations run the full
+    pipeline (whose signature stage is already O(delta)).  Ids that
+    already exist in the store raise.
+    """
+    from vid_dup_finder_lib_spark.operators.components import (
+        incremental_components,
+    )
+
+    spark = new_docs.sparkSession
+    tol = cfg.default_tolerance if tolerance is None else tolerance
+    sigs_new = _materialize(
+        build_signatures(new_docs, cfg, id_col, text_col), True
+    )
+    old_sigs = sigstore.read(spark)
+    n_overlap = sigs_new.select("id").join(
+        old_sigs.select("id"), "id", "left_semi"
+    ).count()
+    if n_overlap:
+        raise ValueError(
+            f"search_incremental is additive-only: {n_overlap} batch ids "
+            "already exist in the signature store — changed/deleted docs can "
+            "split components; run the full pipeline for mutations"
+        )
+    pairs, _q = candidate_pairs(sigs_new, cfg)
+    edges_nn = verified_edges(pairs, sigs_new, cfg, tolerance=tol).select(
+        "id1", "id2"
+    )
+    edges_no = refs_edges_from_signatures(old_sigs, sigs_new, tol, cfg).select(
+        F.col("ref_id").alias("id1"), F.col("cand_id").alias("id2")
+    )
+    assignment = incremental_components(
+        prev_assignment, _materialize(edges_nn.unionByName(edges_no), True)
+    )
+    sigstore.upsert(sigs_new)
+    return assignment
