@@ -139,6 +139,8 @@ def main() -> None:
         "doc_novelty",
         "frequent_line_topk",
         "cluster_purity",
+        "corpus_redundancy_report",
+        "incremental_cc",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}
