@@ -66,3 +66,69 @@ def test_incremental_rejects_existing_ids(spark, tmp_path):
     prev = spark.createDataFrame([], "id string, component string")
     with pytest.raises(ValueError, match="additive-only"):
         api.search_incremental(docs.limit(1), store, prev, TOL, CFG)
+
+
+def test_job_cli_incremental_add(spark, tmp_path):
+    """--incremental-add folds a new batch against an existing checkpoint
+    and writes the updated assignment; equals a full job over the union;
+    read-only on the store unless --incremental-commit."""
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=95)
+    cb.make_clusters(
+        num_clusters=2, first_size=4, size_step=1, intra_d=25, inter_d=300,
+        doclen=600,
+    )
+    all_docs = cb.to_spark(spark, partitions=2).localCheckpoint(eager=True)
+    urls = sorted(r["url"] for r in all_docs.select("url").collect())
+    batch_urls = {urls[0], urls[-1]}
+    old_docs = all_docs.where(~F.col("url").isin(*batch_urls))
+    new_docs = all_docs.where(F.col("url").isin(*batch_urls))
+
+    old_path = str(tmp_path / "old_docs")
+    new_path = str(tmp_path / "new_docs")
+    union_path = str(tmp_path / "union_docs")
+    old_docs.write.parquet(old_path)
+    new_docs.write.parquet(new_path)
+    all_docs.write.parquet(union_path)
+
+    ckpt = str(tmp_path / "ckpt")
+    assert job.main([
+        "--docs", old_path, "--checkpoint", ckpt, "--tolerance", "0.100",
+    ]) == 0
+    store_manifest = (tmp_path / "ckpt" / "signatures" / "_manifest.json")
+    before = store_manifest.read_text()
+
+    inc_out = str(tmp_path / "inc_groups")
+    assert job.main([
+        "--incremental-add", new_path, "--checkpoint", ckpt,
+        "--tolerance", "0.100", "--output", inc_out,
+    ]) == 0
+    # read-only fold: the store manifest is untouched
+    assert store_manifest.read_text() == before
+
+    full_ckpt = str(tmp_path / "ckpt_full")
+    full_out = str(tmp_path / "full_groups")
+    assert job.main([
+        "--docs", union_path, "--checkpoint", full_ckpt,
+        "--tolerance", "0.100", "--output", full_out,
+    ]) == 0
+    got = {
+        (r["cluster_id"], r["id"]) for r in spark.read.parquet(inc_out).collect()
+    }
+    want = {
+        (r["cluster_id"], r["id"]) for r in spark.read.parquet(full_out).collect()
+    }
+    assert got == want and len(got) == 9
+
+    # committing grows the store by the batch
+    assert job.main([
+        "--incremental-add", new_path, "--checkpoint", ckpt,
+        "--tolerance", "0.100", "--output", inc_out, "--incremental-commit",
+    ]) == 0
+    assert store_manifest.read_text() != before
+    with pytest.raises(ValueError, match="additive-only"):
+        job.main([
+            "--incremental-add", new_path, "--checkpoint", ckpt,
+            "--tolerance", "0.100", "--output", inc_out,
+        ])

@@ -172,6 +172,8 @@ def search_incremental(
     cfg: SigConfig = DEFAULT_CONFIG,
     id_col: str = "url",
     text_col: str = "text",
+    ts_col: str = "warc_ts",
+    update_store: bool = True,
 ) -> DataFrame:
     """ADDITIVE incremental self-search: fold a batch of brand-new docs
     into an existing clustering without recomputing the old corpus.
@@ -232,5 +234,17 @@ def search_incremental(
     assignment = incremental_components(
         prev_assignment, _materialize(edges_nn.unionByName(edges_no), True)
     )
-    sigstore.upsert(sigs_new)
+    if update_store:
+        up = sigs_new
+        if "cached_ts" in old_sigs.columns:
+            # pipeline-written stores carry the refresh-diff timestamp
+            # (operators/incremental.refresh_signatures): attach the batch's
+            # so the NEXT full pipeline run diffs correctly against it
+            up = up.join(
+                new_docs.select(
+                    F.col(id_col).alias("id"), F.col(ts_col).alias("cached_ts")
+                ),
+                "id",
+            )
+        sigstore.upsert(up)
     return assignment

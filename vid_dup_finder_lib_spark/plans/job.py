@@ -83,6 +83,20 @@ def main(argv: list[str] | None = None) -> int:
         help="tokens per re-lined paragraph for --dedup-paragraphs (default 8)",
     )
     p.add_argument(
+        "--incremental-add", metavar="NEWDOCS",
+        help="ADDITIVE incremental fold: cluster a parquet batch of brand-"
+             "new docs against an existing checkpoint (signature store + "
+             "groups stage) WITHOUT recomputing the old corpus, and write "
+             "the updated (cluster_id, id) assignment to --output.  "
+             "Read-only on the checkpoint unless --incremental-commit.  "
+             "cc grouping only; ids already in the store refuse",
+    )
+    p.add_argument(
+        "--incremental-commit", action="store_true",
+        help="with --incremental-add: also grow the signature store by the "
+             "batch (O(delta) bucket rewrite) so later folds see it",
+    )
+    p.add_argument(
         "--restore", metavar="STAGE",
         help="restore STAGE's newest retained snapshot generation and exit "
              "(repeatable restores walk further back; the reference keeps "
@@ -93,8 +107,10 @@ def main(argv: list[str] | None = None) -> int:
         help="print retained snapshot generations per stage and exit",
     )
     args = p.parse_args(argv)
-    if not args.docs and not (args.restore or args.list_snapshots):
-        p.error("--docs is required unless --restore/--list-snapshots")
+    if not args.docs and not (args.restore or args.list_snapshots or args.incremental_add):
+        p.error("--docs is required unless --restore/--list-snapshots/--incremental-add")
+    if args.incremental_add and not args.output:
+        p.error("--incremental-add requires --output")
 
     from pyspark.sql import SparkSession
 
@@ -143,6 +159,92 @@ def main(argv: list[str] | None = None) -> int:
             "restored": args.restore,
             "row_count": m.get("row_count"),
             "remaining_snapshots": store.snapshots(args.restore),
+        }, indent=2))
+        return 0
+
+    if args.incremental_add:
+        import os
+
+        from vid_dup_finder_lib_spark import api
+        from vid_dup_finder_lib_spark.plans.sigstore import (
+            PartitionedSignatureStore,
+        )
+
+        spark = SparkSession.builder.appName(
+            "vid-dup-finder-spark-incremental"
+        ).getOrCreate()
+        from pyspark.sql import functions as F
+
+        if (
+            args.canonicalize_urls
+            or args.strip_boilerplate
+            or args.quality_gate
+            or args.dedup_paragraphs
+        ):
+            raise SystemExit(
+                "--incremental-add supports the raw-docs pipeline only: the "
+                "preprocessing stages (canonicalize/strip/quality/paragraph "
+                "dedup) are CORPUS-GLOBAL and cannot be replayed on an "
+                "isolated batch — rerun the full pipeline (its signature "
+                "stage is already O(delta))"
+            )
+        groups_path = os.path.join(args.checkpoint, "groups", "data")
+        prev_groups = spark.read.parquet(groups_path)
+        if "is_seed" in prev_groups.columns:
+            raise SystemExit(
+                "--incremental-add supports cc grouping only: the stored "
+                "groups stage is matchset-mode (greedy order-sensitive; "
+                "no incremental merge exists) — rerun the full pipeline"
+            )
+        # the store validates its fingerprint on exists()/read(): pass the
+        # SAME flag-derived extras the pipeline run used, so a mismatched
+        # invocation (different strip/gate flags) fails fast instead of
+        # folding into a semantically different corpus
+        sigstore = PartitionedSignatureStore(
+            os.path.join(args.checkpoint, "signatures"),
+            DEFAULT_CONFIG,
+            extra_fingerprint={
+                "canonicalize_urls": args.canonicalize_urls,
+                "strip_boilerplate": args.strip_boilerplate,
+                "boilerplate_min_df": [
+                    int(x) for x in args.boilerplate_min_df.split("/")
+                ],
+                **(
+                    {"quality_gate": True,
+                     "quality_min_tokens": args.quality_min_tokens}
+                    if args.quality_gate
+                    else {}
+                ),
+                **(
+                    {"dedup_paragraphs": True,
+                     "paragraph_line_tokens": args.paragraph_line_tokens}
+                    if args.dedup_paragraphs
+                    else {}
+                ),
+            },
+        )
+        prev = prev_groups.select(
+            F.col("id"), F.col("cluster_id").alias("component")
+        )
+        new_docs = spark.read.parquet(args.incremental_add)
+        assignment = api.search_incremental(
+            new_docs,
+            sigstore,
+            prev,
+            tolerance=args.tolerance,
+            cfg=DEFAULT_CONFIG,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            update_store=args.incremental_commit,
+        )
+        out = assignment.select(
+            F.col("component").alias("cluster_id"), "id"
+        ).localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "incremental_add": args.incremental_add,
+            "assigned_rows": out.count(),
+            "store_committed": bool(args.incremental_commit),
         }, indent=2))
         return 0
 
