@@ -132,3 +132,27 @@ def test_job_cli_incremental_add(spark, tmp_path):
             "--incremental-add", new_path, "--checkpoint", ckpt,
             "--tolerance", "0.100", "--output", inc_out,
         ])
+
+
+def test_incremental_empty_batch_is_noop(spark, tmp_path):
+    """A daily batch can legitimately be empty: the fold must return the
+    previous assignment unchanged and leave the store untouched."""
+    cb = CorpusBuilder(seed=96)
+    cb.make_clusters(
+        num_clusters=1, first_size=4, size_step=0, intra_d=20, inter_d=200,
+        doclen=500,
+    )
+    docs = cb.to_spark(spark, partitions=1).localCheckpoint(eager=True)
+    store = PartitionedSignatureStore(str(tmp_path / "store"), CFG, num_buckets=4)
+    from vid_dup_finder_lib_spark.operators.signatures import build_signatures
+
+    store.write_full(build_signatures(docs, CFG, "url", "text"))
+    prev = _cc_of(docs).localCheckpoint(eager=True)
+    empty = docs.limit(0)
+    got = {
+        r["id"]: r["component"]
+        for r in api.search_incremental(empty, store, prev, TOL, CFG).collect()
+    }
+    want = {r["id"]: r["component"] for r in prev.collect()}
+    assert got == want
+    assert store.read(spark).count() == 4
