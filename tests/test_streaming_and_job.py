@@ -345,3 +345,44 @@ def test_job_cli_dedup_paragraphs(spark, tmp_path):
     assert rows["zz://b"]["n_kept"] == rows["zz://b"]["n_lines"] - 1
     assert shared.split()[0] in rows["zz://a"]["text"]
     assert rows["zz://b"]["text"].startswith("plus beta") or shared.split()[0] not in rows["zz://b"]["text"]
+
+
+def test_job_cli_decontam_stage(spark, tmp_path):
+    """--decontam: training docs sharing a verbatim 13-gram with the
+    benchmark corpus are dropped in a checkpointed stage; clean docs
+    survive and group as usual."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=78)
+    cb.make_clusters(
+        num_clusters=1, first_size=5, size_step=0, intra_d=20, inter_d=200, doclen=400
+    )
+    docs = cb.to_spark(spark, partitions=2)
+    ts = docs.select("warc_ts").first()[0]
+    # leak: one training doc embeds a benchmark item verbatim
+    bench_text = "the quick brown fox jumps over the lazy dog again and again today"
+    leaked = spark.createDataFrame(
+        [Row(url="leak://d1", warc_ts=ts, html=bytearray(b""),
+             text="padding before the leak " + bench_text + " padding after",
+             lang="en")],
+        docs.schema,
+    )
+    docs_path = str(tmp_path / "docs")
+    docs.unionByName(leaked).write.parquet(docs_path)
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [Row(doc_id=1, text=bench_text)], "doc_id long, text string"
+    ).write.parquet(bench_path)
+
+    ckpt = str(tmp_path / "ckpt")
+    rc = job.main([
+        "--docs", docs_path, "--checkpoint", ckpt, "--tolerance", "0.100",
+        "--decontam", bench_path, "--id-col", "url",
+    ])
+    assert rc == 0
+    kept = spark.read.parquet(str(tmp_path / "ckpt" / "docs_decontam" / "data"))
+    assert kept.count() == 5
+    assert kept.where(F.col("url") == "leak://d1").count() == 0

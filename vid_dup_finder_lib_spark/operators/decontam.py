@@ -46,6 +46,8 @@ def benchmark_contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_benchmark_ngrams: int = 50_000_000,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
 ) -> DataFrame:
     """Per-training-doc contamination report: ``(id_col,
     n_contaminated_ngrams, contaminated)``.  Every training doc appears in
@@ -67,7 +69,12 @@ def benchmark_contamination(
     """
     train_ng = ngram_hashes(training, n, id_col, text_col)
     bench_ng = (
-        ngram_hashes(benchmark, n, id_col, text_col)
+        ngram_hashes(
+            benchmark,
+            n,
+            bench_id_col if bench_id_col is not None else id_col,
+            bench_text_col if bench_text_col is not None else text_col,
+        )
         .select("ngram_md5")
         .distinct()
         .localCheckpoint(eager=True)  # consumed by the count AND the join

@@ -83,6 +83,16 @@ def main(argv: list[str] | None = None) -> int:
         help="tokens per re-lined paragraph for --dedup-paragraphs (default 8)",
     )
     p.add_argument(
+        "--decontam", metavar="BENCHDOCS",
+        help="benchmark-decontamination stage: drop training docs sharing "
+             "any verbatim n-gram with this parquet benchmark corpus "
+             "(checkpointed docs_decontam stage; per-doc flags durable)",
+    )
+    p.add_argument(
+        "--decontam-ngram", type=int, default=13, metavar="N",
+        help="n-gram length for --decontam (default 13)",
+    )
+    p.add_argument(
         "--incremental-add", metavar="NEWDOCS",
         help="ADDITIVE incremental fold: cluster a parquet batch of brand-"
              "new docs against an existing checkpoint (signature store + "
@@ -142,6 +152,11 @@ def main(argv: list[str] | None = None) -> int:
                     {"dedup_paragraphs": True,
                      "paragraph_line_tokens": args.paragraph_line_tokens}
                     if args.dedup_paragraphs
+                    else {}
+                ),
+                **(
+                    {"decontam": True, "decontam_ngram": args.decontam_ngram}
+                    if args.decontam
                     else {}
                 ),
             },
@@ -221,12 +236,38 @@ def main(argv: list[str] | None = None) -> int:
                     if args.dedup_paragraphs
                     else {}
                 ),
+                **(
+                    {"decontam": True, "decontam_ngram": args.decontam_ngram}
+                    if args.decontam
+                    else {}
+                ),
             },
         )
         prev = prev_groups.select(
             F.col("id"), F.col("cluster_id").alias("component")
         )
         new_docs = spark.read.parquet(args.incremental_add)
+        if args.decontam:
+            # decontam is per-doc vs a BROADCAST benchmark — unlike the
+            # corpus-global strips it replays exactly on a batch, so a
+            # decontam-built checkpoint stays semantically consistent
+            from vid_dup_finder_lib_spark.operators.decontam import (
+                benchmark_contamination,
+            )
+
+            bench = spark.read.parquet(args.decontam)
+            flags = benchmark_contamination(
+                new_docs, bench, n=args.decontam_ngram,
+                id_col=args.id_col, text_col=args.text_col,
+                bench_id_col=bench.columns[0],
+                bench_text_col=("text" if "text" in bench.columns
+                                else bench.columns[-1]),
+            )
+            new_docs = new_docs.join(
+                flags.where(~F.col("contaminated")).select(args.id_col),
+                args.id_col,
+                "left_semi",
+            )
         assignment = api.search_incremental(
             new_docs,
             sigstore,
@@ -273,6 +314,10 @@ def main(argv: list[str] | None = None) -> int:
         quality_min_tokens=args.quality_min_tokens,
         dedup_paragraphs=args.dedup_paragraphs,
         paragraph_line_tokens=args.paragraph_line_tokens,
+        decontam_docs=(
+            spark.read.parquet(args.decontam) if args.decontam else None
+        ),
+        decontam_ngram=args.decontam_ngram,
         reload_errors=args.reload_errs,
     )
     if args.output:

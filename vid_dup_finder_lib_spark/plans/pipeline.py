@@ -57,6 +57,8 @@ def run_dedup_pipeline(
     quality_min_tokens: int = 50,
     dedup_paragraphs: bool = False,
     paragraph_line_tokens: int = 8,
+    decontam_docs: DataFrame | None = None,
+    decontam_ngram: int = 13,
     reload_errors: bool = False,
     signature_buckets: int = 64,
 ) -> PipelineResult:
@@ -100,6 +102,9 @@ def run_dedup_pipeline(
     if dedup_paragraphs:
         extra_fp["dedup_paragraphs"] = True
         extra_fp["paragraph_line_tokens"] = paragraph_line_tokens
+    if decontam_docs is not None:
+        extra_fp["decontam"] = True
+        extra_fp["decontam_ngram"] = decontam_ngram
     store = CheckpointStore(checkpoint_root, cfg, extra_fingerprint=extra_fp)
     tol = cfg.default_tolerance if tolerance is None else tolerance
 
@@ -185,6 +190,38 @@ def run_dedup_pipeline(
         docs = store.run_stage(
             spark, "docs_paragraphs", _para_dedup, upstream=["docs"], force=force
         ).drop("n_lines", "n_kept")
+
+    if decontam_docs is not None:
+        from pyspark.sql import functions as F
+
+        from vid_dup_finder_lib_spark.operators.decontam import (
+            benchmark_contamination,
+        )
+
+        def _decontam():
+            # drop any training doc sharing a verbatim n-gram with the
+            # benchmark corpus; the flags (incl. clean zeros) are durable
+            # in the stage table — removals are lineage, never silent.
+            # Per-doc vs a broadcast benchmark: batch-replayable, so this
+            # stage does NOT block --incremental-add the way the
+            # corpus-global strips do (the CLI still routes mutations to
+            # the full pipeline).
+            flags = benchmark_contamination(
+                docs, decontam_docs, n=decontam_ngram,
+                id_col=id_col, text_col=text_col,
+                bench_id_col=decontam_docs.columns[0],
+                bench_text_col=("text" if "text" in decontam_docs.columns
+                                else decontam_docs.columns[-1]),
+            )
+            return docs.join(
+                flags.where(~F.col("contaminated")).select(id_col),
+                id_col,
+                "left_semi",
+            )
+
+        docs = store.run_stage(
+            spark, "docs_decontam", _decontam, upstream=["docs"], force=force
+        )
 
     # Signatures persist in the hash-partitioned store: compute is O(delta)
     # (only changed docs hit the Arrow kernel) AND the write is O(delta)
