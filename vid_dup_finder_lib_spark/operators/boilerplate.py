@@ -377,7 +377,11 @@ def frequent_line_topk(
         .groupBy("line")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
-    top = df.orderBy(F.desc("df"), F.asc("line")).limit(k)
+    # <= k rows, but BOTH sides of the rank self-join read it: materialize
+    # or the full df aggregation + top-k runs twice
+    top = df.orderBy(F.desc("df"), F.asc("line")).limit(k).localCheckpoint(
+        eager=True
+    )
     o = top.select(F.col("line").alias("o_line"), F.col("df").alias("o_df"))
     before = (F.col("o_df") > F.col("df")) | (
         (F.col("o_df") == F.col("df")) & (F.col("o_line") < F.col("line"))

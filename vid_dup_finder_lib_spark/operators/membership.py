@@ -212,7 +212,12 @@ def incremental_exact_dedup(
     mb = m_bits if m_bits is not None else bloom_m_bits(n_corpus, fpr)
     kk = k if k is not None else bloom_optimal_k(mb, n_corpus)
     words = bloom_build(corp, "__mkey", mb, kk)
-    flagged = bloom_candidates(inc, "__mkey", words, mb, kk)
+    # flagged feeds both the positive-sliver join and the final output
+    # join: materialize, or the Arrow probe (and the incoming scan) run
+    # once per consumer (the repo's multi-consumer rule)
+    flagged = bloom_candidates(inc, "__mkey", words, mb, kk).localCheckpoint(
+        eager=True
+    )
     # exact verify ONLY on the bloom-positive sliver; sha256 (not the
     # 64-bit xxhash join key) is the equality the semi-join tests, so a
     # 64-bit key collision cannot fabricate a duplicate

@@ -94,7 +94,10 @@ def assign_canonicals(
         old_min = ids.select(
             "id", F.lit(None).cast(id_type).alias("old_match")
         ).limit(0)
-    joined = comp.join(old_min, "id", "left")
+    # joined feeds both the per-component min and the final assignment
+    # join: materialize, or the store-side refs search upstream of old_min
+    # executes once per consumer
+    joined = comp.join(old_min, "id", "left").localCheckpoint(eager=True)
     comp_old = joined.groupBy("component").agg(
         F.min("old_match").alias("comp_old")
     )
