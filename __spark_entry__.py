@@ -348,6 +348,32 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_delete_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion fold (operators/components.delete_components): a
+    deterministic subset of assigned docs (id % 7 == 3) is removed from the
+    full clustering.  Only components that LOST a member are re-solved
+    (deletion can split a component or change its min-id label but never
+    merge components — every verified edge is intra-component); all other
+    rows pass through label-stable.  The oracle re-runs recursive-CTE CC
+    from scratch over the surviving subgraph, so the gate checks the
+    O(affected) path equals a full re-clustering of the remaining corpus.
+    ``keep_isolated=False`` matches CC's nodes-only-if-edged convention."""
+    from vid_dup_finder_lib_spark.operators.components import (
+        connected_components,
+        delete_components,
+    )
+
+    edges = _lsh_edges(spark, sf_dir).select(
+        F.col("id1").cast("long").alias("id1"), F.col("id2").cast("long").alias("id2")
+    )
+    prev = connected_components(edges)
+    dels = prev.select("id").where(F.col("id") % 7 == 3)
+    return delete_components(prev, dels, edges, keep_isolated=False).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+
+
 def q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: per-cluster member collection (sorted, exact)."""
     cc = q_connected_components(spark, sf_dir)
@@ -2097,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_report": q_corpus_mix_report,
         "connected_components": q_connected_components,
         "incremental_cc": q_incremental_cc,
+        "incremental_delete_cc": q_incremental_delete_cc,
         "cluster_members": q_cluster_members,
         "cluster_purity": q_cluster_purity,
         "corpus_redundancy_report": q_corpus_redundancy_report,
@@ -2200,6 +2227,23 @@ cc AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM walk GROUP BY id)
         # the incremental path must equal from-scratch CC (star-contraction
         # identity) — same oracle as connected_components
         "incremental_cc": prologue_r + sql_cc + "SELECT doc_id, cluster_id FROM cc",
+        # deletion fold must equal from-scratch CC over the surviving
+        # subgraph: drop nodes with id % 7 = 3 from the pair set, re-walk
+        "incremental_delete_cc": prologue_r + sql_cc + r"""
+, dels AS (SELECT DISTINCT doc_id FROM cc WHERE doc_id % 7 = 3),
+kept AS (
+  SELECT id1, id2 FROM jpairs
+  WHERE id1 NOT IN (SELECT doc_id FROM dels)
+    AND id2 NOT IN (SELECT doc_id FROM dels)
+),
+sym2 AS (SELECT id1 AS a, id2 AS b FROM kept UNION SELECT id2, id1 FROM kept),
+walk2(id, r) AS (
+  SELECT a, a FROM sym2
+  UNION
+  SELECT w.id, s.b FROM walk2 w JOIN sym2 s ON w.r = s.a
+)
+SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM walk2 GROUP BY id
+""",
         "cluster_members": prologue_r + sql_cc + r"""
 SELECT cluster_id, count(*)::BIGINT AS n_members,
        array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS members

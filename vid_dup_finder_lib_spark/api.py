@@ -248,3 +248,76 @@ def search_incremental(
             )
         sigstore.upsert(up)
     return assignment
+
+
+def search_delete(
+    delete_ids: DataFrame,
+    sigstore,
+    prev_assignment: DataFrame,
+    tolerance: float | None = None,
+    cfg: SigConfig = DEFAULT_CONFIG,
+    keep_isolated: bool = True,
+    update_store: bool = True,
+) -> DataFrame:
+    """DELETION fold: remove docs (takedowns, robots.txt revocations,
+    right-to-be-forgotten requests) from an existing clustering with
+    O(affected) recompute — the dual of ``search_incremental``, and the
+    batch form of the reference's vanished-file handling (its workflow
+    drops match-DB entries whose files disappeared and regroups everything,
+    match_db.rs; here only components that LOST a member are re-solved).
+
+    Exactness argument (see ``components.delete_components``): the previous
+    assignment is the transitive closure over ALL verified edges at this
+    config, so every verified edge is intra-component — deleting docs only
+    removes edges, never creates cross-component ones.  Re-searching the
+    surviving members of affected components is therefore provably equal to
+    a from-scratch search over the remaining corpus (test-pinned, including
+    bridge-doc splits and min-label deletions).
+
+    Scale shape: the affected survivor set is O(deleted · cluster size);
+    its signatures come from a BUCKET-PRUNED store read
+    (``sigstore.read_for_ids`` — only the partitions those ids hash into
+    are scanned), the re-search LSH-joins only that subset, and the store
+    delete is an O(delta) bucket rewrite.  Nothing touches the unaffected
+    corpus.
+
+    Requires the same ``tolerance``/``cfg`` the assignment was built with
+    (a different radius would change edges everywhere, not just near the
+    deleted docs) and a FULL signature store (every old doc, as
+    ``search_incremental`` maintains — not the streaming path's
+    survivor-only store, whose radius semantics lose transitivity).
+
+    Returns the updated ``(id, component)`` assignment: unaffected rows
+    pass through label-stable; affected survivors are re-clustered (now-
+    isolated ones kept as ``(id, id)`` rows when ``keep_isolated``).  Ids
+    not present anywhere are no-ops.
+    """
+    from vid_dup_finder_lib_spark.operators.components import delete_components
+
+    tol = cfg.default_tolerance if tolerance is None else tolerance
+    dels = (
+        delete_ids.select(F.col(delete_ids.columns[0]).alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = prev_assignment.select("id", "component")
+    affected = (
+        prev.join(dels, "id", "left_semi").select("component").distinct()
+    )
+    survivors = (
+        prev.join(affected, "component", "left_semi")
+        .join(dels, "id", "left_anti")
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    sigs_sub = _materialize(sigstore.read_for_ids(survivors), True)
+    pairs, _q = candidate_pairs(sigs_sub, cfg)
+    edges = verified_edges(pairs, sigs_sub, cfg, tolerance=tol).select(
+        "id1", "id2"
+    )
+    assignment = delete_components(
+        prev, dels, edges, keep_isolated=keep_isolated
+    )
+    if update_store:
+        sigstore.delete(dels)
+    return assignment

@@ -217,3 +217,80 @@ def incremental_components(
         .select("id", F.col("id").alias("component"))
     )
     return cc.unionByName(singles)
+
+
+def delete_components(
+    prev_assignment: DataFrame,
+    delete_ids: DataFrame,
+    subgraph_edges: DataFrame,
+    id_col: str = "id",
+    comp_col: str = "component",
+    id1: str = "id1",
+    id2: str = "id2",
+    keep_isolated: bool = True,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Remove nodes from a component assignment — the DELETION dual of
+    ``incremental_components`` (the reference's workflow deletes entries
+    when files disappear and regroups the whole match DB per run,
+    match_db.rs; at corpus scale only the AFFECTED components may be
+    re-solved).
+
+    Deletion can SPLIT a component (removing a bridge doc) or change its
+    label (removing the minimum member), which no star merge can express —
+    but it can never MERGE components: every verified edge is
+    intra-component (the previous assignment is the transitive closure over
+    all verified edges at this config), so dropping nodes only removes
+    edges.  Re-clustering is therefore exact when restricted to the
+    surviving members of components that contain at least one deleted id;
+    every other component's rows pass through untouched, labels stable.
+
+    ``subgraph_edges`` is the verified edge set among those surviving
+    members — the caller computes it (``api.search_delete`` re-searches
+    only that subset from the signature store).  A superset is accepted:
+    edges touching deleted ids or unaffected components are filtered out
+    here (two semi-joins against the O(affected) survivor set).
+
+    Survivors of an affected component that end up with no remaining edge
+    become singleton ``(id, id)`` rows when ``keep_isolated`` (the
+    ``incremental_components`` convention), or are dropped when not (the
+    ``connected_components`` nodes-only-if-edged convention — what a
+    from-scratch re-run over the remaining corpus would emit).
+    """
+    dels = (
+        delete_ids.select(F.col(delete_ids.columns[0]).alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = prev_assignment.select(
+        F.col(id_col).alias(id_col), F.col(comp_col).alias(comp_col)
+    )
+    affected = (
+        prev.join(dels, id_col, "left_semi")
+        .select(comp_col)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    untouched = prev.join(affected, comp_col, "left_anti").select(id_col, comp_col)
+    survivors = (
+        prev.join(affected, comp_col, "left_semi")
+        .join(dels, id_col, "left_anti")
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        subgraph_edges.select(id1, id2)
+        .join(survivors.select(F.col(id_col).alias(id1)), id1, "left_semi")
+        .join(survivors.select(F.col(id_col).alias(id2)), id2, "left_semi")
+    )
+    re_cc = connected_components(
+        e, id1=id1, id2=id2, max_iterations=max_iterations
+    ).select(F.col("id").alias(id_col), F.col("component").alias(comp_col))
+    out = untouched.unionByName(re_cc)
+    if keep_isolated:
+        isolated = (
+            survivors.join(re_cc.select(id_col), id_col, "left_anti")
+            .select(id_col, F.col(id_col).alias(comp_col))
+        )
+        out = out.unionByName(isolated)
+    return out

@@ -21,6 +21,36 @@ import json
 import sys
 
 
+def _flag_extras(args) -> dict:
+    """The flag-derived store-fingerprint extras: a fold invocation with
+    different preprocessing flags than the pipeline run fails fast instead
+    of folding into a semantically different corpus."""
+    return {
+        "canonicalize_urls": args.canonicalize_urls,
+        "strip_boilerplate": args.strip_boilerplate,
+        "boilerplate_min_df": [
+            int(x) for x in args.boilerplate_min_df.split("/")
+        ],
+        **(
+            {"quality_gate": True,
+             "quality_min_tokens": args.quality_min_tokens}
+            if args.quality_gate
+            else {}
+        ),
+        **(
+            {"dedup_paragraphs": True,
+             "paragraph_line_tokens": args.paragraph_line_tokens}
+            if args.dedup_paragraphs
+            else {}
+        ),
+        **(
+            {"decontam": True, "decontam_ngram": args.decontam_ngram}
+            if args.decontam
+            else {}
+        ),
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="near-dup detection pipeline")
     p.add_argument(
@@ -102,9 +132,22 @@ def main(argv: list[str] | None = None) -> int:
              "cc grouping only; ids already in the store refuse",
     )
     p.add_argument(
+        "--incremental-delete", metavar="IDS",
+        help="DELETION fold (takedowns / right-to-be-forgotten): remove a "
+             "parquet list of doc ids (first column) from an existing "
+             "checkpoint's clustering, re-solving ONLY components that "
+             "lost a member (bucket-pruned store read; exact — deletion "
+             "never merges components), and write the updated "
+             "(cluster_id, id) assignment to --output.  Preprocessing "
+             "state (boilerplate df counts etc.) stays frozen at full-run "
+             "time.  Read-only on the checkpoint unless "
+             "--incremental-commit.  cc grouping only",
+    )
+    p.add_argument(
         "--incremental-commit", action="store_true",
-        help="with --incremental-add: also grow the signature store by the "
-             "batch (O(delta) bucket rewrite) so later folds see it",
+        help="with --incremental-add/--incremental-delete: also apply the "
+             "fold to the signature store (O(delta) bucket rewrite) so "
+             "later folds see it",
     )
     p.add_argument(
         "--restore", metavar="STAGE",
@@ -117,10 +160,21 @@ def main(argv: list[str] | None = None) -> int:
         help="print retained snapshot generations per stage and exit",
     )
     args = p.parse_args(argv)
-    if not args.docs and not (args.restore or args.list_snapshots or args.incremental_add):
-        p.error("--docs is required unless --restore/--list-snapshots/--incremental-add")
-    if args.incremental_add and not args.output:
-        p.error("--incremental-add requires --output")
+    if not args.docs and not (
+        args.restore or args.list_snapshots or args.incremental_add
+        or args.incremental_delete
+    ):
+        p.error(
+            "--docs is required unless --restore/--list-snapshots/"
+            "--incremental-add/--incremental-delete"
+        )
+    if (args.incremental_add or args.incremental_delete) and not args.output:
+        p.error("--incremental-add/--incremental-delete require --output")
+    if args.incremental_add and args.incremental_delete:
+        p.error(
+            "--incremental-add and --incremental-delete are one fold each: "
+            "run them as separate invocations (order matters for labels)"
+        )
 
     from pyspark.sql import SparkSession
 
@@ -136,30 +190,7 @@ def main(argv: list[str] | None = None) -> int:
         store = CheckpointStore(
             args.checkpoint,
             DEFAULT_CONFIG,
-            extra_fingerprint={
-                "canonicalize_urls": args.canonicalize_urls,
-                "strip_boilerplate": args.strip_boilerplate,
-                "boilerplate_min_df": [
-                    int(x) for x in args.boilerplate_min_df.split("/")
-                ],
-                **(
-                    {"quality_gate": True,
-                     "quality_min_tokens": args.quality_min_tokens}
-                    if args.quality_gate
-                    else {}
-                ),
-                **(
-                    {"dedup_paragraphs": True,
-                     "paragraph_line_tokens": args.paragraph_line_tokens}
-                    if args.dedup_paragraphs
-                    else {}
-                ),
-                **(
-                    {"decontam": True, "decontam_ngram": args.decontam_ngram}
-                    if args.decontam
-                    else {}
-                ),
-            },
+            extra_fingerprint=_flag_extras(args),
         )
         if args.list_snapshots:
             stages = sorted(
@@ -218,30 +249,7 @@ def main(argv: list[str] | None = None) -> int:
         sigstore = PartitionedSignatureStore(
             os.path.join(args.checkpoint, "signatures"),
             DEFAULT_CONFIG,
-            extra_fingerprint={
-                "canonicalize_urls": args.canonicalize_urls,
-                "strip_boilerplate": args.strip_boilerplate,
-                "boilerplate_min_df": [
-                    int(x) for x in args.boilerplate_min_df.split("/")
-                ],
-                **(
-                    {"quality_gate": True,
-                     "quality_min_tokens": args.quality_min_tokens}
-                    if args.quality_gate
-                    else {}
-                ),
-                **(
-                    {"dedup_paragraphs": True,
-                     "paragraph_line_tokens": args.paragraph_line_tokens}
-                    if args.dedup_paragraphs
-                    else {}
-                ),
-                **(
-                    {"decontam": True, "decontam_ngram": args.decontam_ngram}
-                    if args.decontam
-                    else {}
-                ),
-            },
+            extra_fingerprint=_flag_extras(args),
         )
         prev = prev_groups.select(
             F.col("id"), F.col("cluster_id").alias("component")
@@ -284,6 +292,56 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({
             "incremental_add": args.incremental_add,
+            "assigned_rows": out.count(),
+            "store_committed": bool(args.incremental_commit),
+        }, indent=2))
+        return 0
+
+    if args.incremental_delete:
+        import os
+
+        from vid_dup_finder_lib_spark import api
+        from vid_dup_finder_lib_spark.plans.sigstore import (
+            PartitionedSignatureStore,
+        )
+
+        spark = SparkSession.builder.appName(
+            "vid-dup-finder-spark-incremental"
+        ).getOrCreate()
+        from pyspark.sql import functions as F
+
+        groups_path = os.path.join(args.checkpoint, "groups", "data")
+        prev_groups = spark.read.parquet(groups_path)
+        if "is_seed" in prev_groups.columns:
+            raise SystemExit(
+                "--incremental-delete supports cc grouping only: the stored "
+                "groups stage is matchset-mode (greedy order-sensitive; "
+                "no incremental merge exists) — rerun the full pipeline"
+            )
+        sigstore = PartitionedSignatureStore(
+            os.path.join(args.checkpoint, "signatures"),
+            DEFAULT_CONFIG,
+            extra_fingerprint=_flag_extras(args),
+        )
+        prev = prev_groups.select(
+            F.col("id"), F.col("cluster_id").alias("component")
+        )
+        dels = spark.read.parquet(args.incremental_delete)
+        assignment = api.search_delete(
+            dels,
+            sigstore,
+            prev,
+            tolerance=args.tolerance,
+            cfg=DEFAULT_CONFIG,
+            keep_isolated=True,
+            update_store=args.incremental_commit,
+        )
+        out = assignment.select(
+            F.col("component").alias("cluster_id"), "id"
+        ).localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "incremental_delete": args.incremental_delete,
             "assigned_rows": out.count(),
             "store_committed": bool(args.incremental_commit),
         }, indent=2))

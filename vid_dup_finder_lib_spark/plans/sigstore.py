@@ -155,6 +155,38 @@ class PartitionedSignatureStore:
             F.col("bucket").isin([int(b) for b in buckets])
         )
 
+    def read_for_ids(self, ids_df: DataFrame, id_col: str = "id") -> DataFrame:
+        """Bucket-pruned point-set read: scan ONLY the partitions the given
+        ids hash into, then semi-join to the exact set.  The driver sees
+        bucket NUMBERS only (distinct, ≤ num_buckets values — the same
+        discipline as ``upsert``'s dirty-set collect, never ids); at corpus
+        scale this reads O(|ids| / num_buckets · store) bytes instead of
+        the whole table."""
+        self._sweep_and_recover()
+        spark = ids_df.sparkSession
+        ids = ids_df.select(F.col(ids_df.columns[0]).alias("id")).distinct()
+        buckets = sorted(
+            int(r["b"])
+            for r in ids.select(bucket_col("id", self.num_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        if not buckets:
+            return self.read(spark).limit(0)
+        return (
+            self._read_buckets(spark, buckets)
+            .drop("bucket")
+            .join(ids, "id", "left_semi")
+        )
+
+    def delete(self, ids_df: DataFrame, id_col: str = "id") -> dict:
+        """Drop the given ids from the store — a pure-delete ``upsert``
+        (O(delta) bucket rewrite, journaled swap, generation retained).
+        Ids not present are no-ops; returns upsert's lineage dict."""
+        spark = ids_df.sparkSession
+        empty = self.read(spark).limit(0)
+        return self.upsert(empty, deleted_ids=ids_df, id_col=id_col)
+
     # -- generation ledger + crash recovery --------------------------------
 
     def _gens_root(self) -> str:
