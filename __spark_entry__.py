@@ -374,6 +374,28 @@ def q_incremental_delete_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_threshold_sweep_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-slider sweep (components.threshold_sweep_components): the
+    verified edge set is clustered at Jaccard 2/5, 1/2, and 2/3 in one
+    pass — signatures/LSH/verify run once, each threshold adds a filter +
+    CC over the shrinking subset.  All three are tighter than or equal to
+    the 2/5 the edges were verified at, so LSH recall is inherited and the
+    oracle can re-derive each level exactly from the shingle pair join."""
+    from vid_dup_finder_lib_spark.operators.components import (
+        threshold_sweep_components,
+    )
+
+    edges = _lsh_edges(spark, sf_dir)
+    return threshold_sweep_components(
+        edges, [(2, 5), (1, 2), (2, 3)]
+    ).select(
+        "thr_num",
+        "thr_den",
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+
+
 def q_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: per-cluster member collection (sorted, exact)."""
     cc = q_connected_components(spark, sf_dir)
@@ -2124,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "incremental_cc": q_incremental_cc,
         "incremental_delete_cc": q_incremental_delete_cc,
+        "threshold_sweep_cc": q_threshold_sweep_cc,
         "cluster_members": q_cluster_members,
         "cluster_purity": q_cluster_purity,
         "corpus_redundancy_report": q_corpus_redundancy_report,
@@ -2227,6 +2250,38 @@ cc AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM walk GROUP BY id)
         # the incremental path must equal from-scratch CC (star-contraction
         # identity) — same oracle as connected_components
         "incremental_cc": prologue_r + sql_cc + "SELECT doc_id, cluster_id FROM cc",
+        # tolerance-slider sweep: one clustering per threshold, each a
+        # further filter of the SAME verified pair set
+        "threshold_sweep_cc": prologue_r + r"""
+, s1 AS (SELECT id1 AS a, id2 AS b FROM jpairs UNION SELECT id2, id1 FROM jpairs),
+w1(id, r) AS (
+  SELECT a, a FROM s1
+  UNION
+  SELECT w.id, s.b FROM w1 w JOIN s1 s ON w.r = s.a
+),
+c1 AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM w1 GROUP BY id),
+k2 AS (SELECT id1, id2 FROM jpairs WHERE inter_count * 2 >= union_count * 1),
+s2 AS (SELECT id1 AS a, id2 AS b FROM k2 UNION SELECT id2, id1 FROM k2),
+w2(id, r) AS (
+  SELECT a, a FROM s2
+  UNION
+  SELECT w.id, s.b FROM w2 w JOIN s2 s ON w.r = s.a
+),
+c2 AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM w2 GROUP BY id),
+k3 AS (SELECT id1, id2 FROM jpairs WHERE inter_count * 3 >= union_count * 2),
+s3 AS (SELECT id1 AS a, id2 AS b FROM k3 UNION SELECT id2, id1 FROM k3),
+w3(id, r) AS (
+  SELECT a, a FROM s3
+  UNION
+  SELECT w.id, s.b FROM w3 w JOIN s3 s ON w.r = s.a
+),
+c3 AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM w3 GROUP BY id)
+SELECT 2::BIGINT AS thr_num, 5::BIGINT AS thr_den, doc_id, cluster_id FROM c1
+UNION ALL
+SELECT 1::BIGINT, 2::BIGINT, doc_id, cluster_id FROM c2
+UNION ALL
+SELECT 2::BIGINT, 3::BIGINT, doc_id, cluster_id FROM c3
+""",
         # deletion fold must equal from-scratch CC over the surviving
         # subgraph: drop nodes with id % 7 = 3 from the pair set, re-walk
         "incremental_delete_cc": prologue_r + sql_cc + r"""

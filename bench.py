@@ -141,6 +141,8 @@ def main() -> None:
         "cluster_purity",
         "corpus_redundancy_report",
         "incremental_cc",
+        "incremental_delete_cc",
+        "threshold_sweep_cc",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}

@@ -177,3 +177,46 @@ def test_incremental_singleton_carry_through(spark):
     pull = spark.createDataFrame([(7, 2)], "id1 long, id2 long")
     got2 = _cc_map(incremental_components(prev, pull))
     assert got2[7] == 2 and got2[2] == 2
+
+
+def test_threshold_sweep_refinement(spark):
+    """Tighter thresholds refine looser clusterings: every tight cluster
+    sits wholly inside one loose cluster; edge filtering is exact."""
+    from vid_dup_finder_lib_spark.operators.components import (
+        threshold_sweep_components,
+    )
+
+    # chain 1-2-3-4 with decreasing similarity along the chain, plus an
+    # isolated pair {10,11} at full strength
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 9, 10),   # 0.9
+            (2, 3, 3, 5),    # 0.6
+            (3, 4, 2, 5),    # 0.4
+            (10, 11, 1, 1),  # 1.0
+        ],
+        "id1 long, id2 long, inter_count long, union_count long",
+    )
+    out = threshold_sweep_components(edges, [(2, 5), (1, 2), (2, 3)])
+    got = {
+        (r["thr_num"], r["thr_den"], r["id"]): r["component"]
+        for r in out.collect()
+    }
+    # 2/5 keeps all edges: {1,2,3,4} + {10,11}
+    assert [got[(2, 5, i)] for i in (1, 2, 3, 4)] == [1, 1, 1, 1]
+    # 1/2 drops the 0.4 edge: {1,2,3}, 4 vanishes (nodes-only-if-edged)
+    assert [got[(1, 2, i)] for i in (1, 2, 3)] == [1, 1, 1]
+    assert (1, 2, 4) not in got
+    # 2/3 keeps only 0.9 and 1.0: {1,2}
+    assert [got[(2, 3, i)] for i in (1, 2)] == [1, 1]
+    assert (2, 3, 3) not in got
+    for num, den in [(2, 5), (1, 2), (2, 3)]:
+        assert got[(num, den, 10)] == 10 and got[(num, den, 11)] == 10
+
+    # refinement property: members of one tight cluster share one loose one
+    tight = {}
+    for (n, d, i), c in got.items():
+        if (n, d) == (2, 3):
+            tight.setdefault(c, []).append(i)
+    for members in tight.values():
+        assert len({got[(2, 5, m)] for m in members}) == 1

@@ -294,3 +294,50 @@ def delete_components(
         )
         out = out.unionByName(isolated)
     return out
+
+
+def threshold_sweep_components(
+    edges: DataFrame,
+    thresholds: list[tuple[int, int]],
+    id1: str = "id1",
+    id2: str = "id2",
+    inter_col: str = "inter_count",
+    union_col: str = "union_count",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Cluster the SAME verified edge set at several Jaccard thresholds —
+    the batch form of the reference GUI's tolerance slider (the app
+    re-runs the whole search per tolerance change, vid_dup_finder_app
+    gui; here the expensive work — signatures, LSH join, exact verify —
+    happens once, and each additional threshold costs only a filter plus
+    a CC pass over the shrinking edge subset).
+
+    ``thresholds`` are exact ``(num, den)`` fractions, each TIGHTER than
+    or equal to the threshold the edges were verified at: a looser value
+    would need candidate pairs the LSH/verify stage never emitted (their
+    absence would silently understate connectivity — the caller owns
+    that monotonicity, documented here because the edge set carries no
+    record of its own verification threshold).
+
+    Returns ``(thr_num, thr_den, id, component)`` — one full clustering
+    per threshold, stacked.  Cluster labels are min member ids per
+    threshold, so a doc's label may differ across rows (tighter
+    thresholds refine looser ones; the refinement is test-pinned).
+    """
+    e = edges.select(
+        id1, id2, F.col(inter_col).alias("i"), F.col(union_col).alias("u")
+    ).localCheckpoint(eager=True)
+    out = None
+    for num, den in thresholds:
+        kept = e.where(F.col("i") * den >= F.col("u") * num)
+        cc = connected_components(
+            kept, id1=id1, id2=id2, max_iterations=max_iterations
+        )
+        part = cc.select(
+            F.lit(int(num)).cast("long").alias("thr_num"),
+            F.lit(int(den)).cast("long").alias("thr_den"),
+            "id",
+            "component",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
