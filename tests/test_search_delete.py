@@ -4,6 +4,8 @@ splits (the case no star merge can express), min-label deletions, and
 whole-cluster removals — while unaffected components pass through
 label-stable and the store shrinks O(delta)."""
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -285,3 +287,35 @@ def test_job_cli_incremental_delete(spark, tmp_path):
     )
     assert committed.read(spark).where(F.col("id") == doomed).count() == 0
     assert committed.read(spark).count() == 8
+
+
+def test_read_for_ids_plan_prunes_buckets(spark, tmp_path):
+    """The PLANS.md claim behind O(affected) deletion: read_for_ids must
+    touch ONLY the partition directories the requested ids hash into —
+    asserted at the file level via inputFiles(), not just by row content."""
+    from vid_dup_finder_lib_spark.plans.sigstore import bucket_col
+
+    cb = CorpusBuilder(seed=81)
+    cb.add_singletons(24, 200, 300, site=2)
+    docs = cb.to_spark(spark, partitions=2).localCheckpoint(eager=True)
+    store = _store_of(spark, docs, tmp_path / "store", buckets=8)
+
+    urls = sorted(r["url"] for r in docs.select("url").collect())
+    want = urls[:2]
+    ids = spark.createDataFrame([(u,) for u in want], "id string")
+    target_buckets = {
+        r["b"]
+        for r in ids.select(bucket_col("id", 8).alias("b")).collect()
+    }
+    pruned = store.read_for_ids(ids)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), f"no partition filter in plan:\n{plan}"
+    # the IN-list in the partition filter is exactly the target buckets —
+    # planning-time pruning, every other directory never touched
+    in_m = re.search(r"bucket#\d+L? IN \(([^)]*)\)", m.group(1))
+    assert in_m, f"partition filter is not an IN prune: {m.group(1)}"
+    planned = {int(x) for x in in_m.group(1).replace(" ", "").split(",")}
+    assert planned == target_buckets
+    # and the pruned read still returns exactly the requested rows
+    assert {r["id"] for r in pruned.select("id").collect()} == set(want)
