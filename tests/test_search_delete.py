@@ -319,3 +319,39 @@ def test_read_for_ids_plan_prunes_buckets(spark, tmp_path):
     assert planned == target_buckets
     # and the pruned read still returns exactly the requested rows
     assert {r["id"] for r in pruned.select("id").collect()} == set(want)
+
+
+def test_delete_then_time_travel_restores(spark, tmp_path):
+    """A takedown applied in error must be recoverable: delete retains a
+    snapshot generation, so read_as_of(1) still sees the removed rows and
+    restore_previous() undoes the shrink."""
+    cb = CorpusBuilder(seed=82)
+    cb.add_singletons(6, 200, 300, site=3)
+    docs = cb.to_spark(spark, partitions=2).localCheckpoint(eager=True)
+    store = _store_of(spark, docs, tmp_path / "store", buckets=4)
+    urls = sorted(r["url"] for r in docs.select("url").collect())
+    dels = spark.createDataFrame([(urls[0],)], "id string")
+    store.delete(dels)
+    assert store.read(spark).count() == 5
+    assert store.read_as_of(spark, 1).count() == 6
+    store.restore_previous(spark)
+    assert store.read(spark).count() == 6
+    assert {r["id"] for r in store.read(spark).select("id").collect()} == set(urls)
+
+
+def test_delete_empty_set_is_noop(spark, tmp_path):
+    """An empty takedown batch: assignment passes through unchanged, store
+    untouched."""
+    cb = CorpusBuilder(seed=83)
+    cb.make_clusters(
+        num_clusters=1, first_size=3, size_step=0, intra_d=20, inter_d=200,
+        doclen=400,
+    )
+    docs = cb.to_spark(spark, partitions=1).localCheckpoint(eager=True)
+    prev = _cc_of(docs).localCheckpoint(eager=True)
+    store = _store_of(spark, docs, tmp_path / "store", buckets=4)
+    manifest_before = (tmp_path / "store" / "_manifest.json").read_text()
+    empty = spark.createDataFrame([], "id string")
+    got = api.search_delete(empty, store, prev, TOL, CFG)
+    assert _asgn(got) == _asgn(prev)
+    assert (tmp_path / "store" / "_manifest.json").read_text() == manifest_before
