@@ -374,6 +374,39 @@ def q_incremental_delete_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature calibration: per verified pair, the number of agreeing
+    MinHash positions (the estimator: E[matches/128] = Jaccard) next to the
+    exact shingle inter/union counts — the measured per-pair accuracy of
+    the 128-perm family behind the recall claim (RECALL.md justifies the
+    banding; this pins the estimator it is built on).  The position
+    comparison is pure codegen (zip_with + aggregate over the already-
+    shuffled pair rows — a few thousand pairs, not the corpus); oracle is
+    a fixture from the Spark-free twin (tools/make_minhash_fixture.py)."""
+    sigs = _neardup_signatures(_docs(spark, sf_dir))
+    edges = _lsh_edges(spark, sf_dir).select("id1", "id2", "inter_count", "union_count")
+    m1 = sigs.select(F.col("id").alias("id1"), F.col("minhash").alias("mh1"))
+    m2 = sigs.select(F.col("id").alias("id2"), F.col("minhash").alias("mh2"))
+    matches = F.aggregate(
+        F.zip_with(
+            "mh1", "mh2", lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        edges.join(m1, "id1")
+        .join(m2, "id2")
+        .select(
+            F.col("id1").cast("long").alias("id1"),
+            F.col("id2").cast("long").alias("id2"),
+            matches.cast("int").alias("minhash_matches"),
+            "inter_count",
+            "union_count",
+        )
+    )
+
+
 def q_threshold_sweep_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tolerance-slider sweep (components.threshold_sweep_components): the
     verified edge set is clustered at Jaccard 2/5, 1/2, and 2/3 in one
@@ -2147,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc": q_incremental_cc,
         "incremental_delete_cc": q_incremental_delete_cc,
         "threshold_sweep_cc": q_threshold_sweep_cc,
+        "minhash_estimate_pairs": q_minhash_estimate_pairs,
         "cluster_members": q_cluster_members,
         "cluster_purity": q_cluster_purity,
         "corpus_redundancy_report": q_corpus_redundancy_report,
@@ -2505,6 +2539,12 @@ WHERE source LIKE 'src1%' AND source NOT LIKE 'src12%'
         # (tools/make_simhash_fixture.py; staleness-guarded by
         # tests/test_simhash_oracle.py).  The driver's correctness gate runs
         # at sf0.01 — the fixture is per-sf-named for exactly that input.
+        "minhash_estimate_pairs": (
+            "SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, "
+            "minhash_matches::INT AS minhash_matches, "
+            "inter_count::BIGINT AS inter_count, union_count::BIGINT AS union_count "
+            "FROM read_parquet('/root/repo/fixtures/minhash_estimate_sf0.01.parquet')"
+        ),
         "simhash_pairs": r"""
 SELECT id1::BIGINT AS id1, id2::BIGINT AS id2, simhash_hamming::INT AS simhash_hamming
 FROM read_parquet('/root/repo/fixtures/simhash_pairs_sf0.01.parquet')

@@ -143,6 +143,7 @@ def main() -> None:
         "incremental_cc",
         "incremental_delete_cc",
         "threshold_sweep_cc",
+        "minhash_estimate_pairs",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}
