@@ -384,7 +384,13 @@ def q_minhash_estimate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled pair rows — a few thousand pairs, not the corpus); oracle is
     a fixture from the Spark-free twin (tools/make_minhash_fixture.py)."""
     sigs = _neardup_signatures(_docs(spark, sf_dir))
-    edges = _lsh_edges(spark, sf_dir).select("id1", "id2", "inter_count", "union_count")
+    # one signature materialization serves the LSH join, the verify, and
+    # both sides of the position comparison (no second kernel run)
+    pairs, _q = candidate_pairs(sigs, ENTRY_CFG)
+    edges = verified_edges(
+        pairs, sigs, ENTRY_CFG,
+        jaccard_num_den=(JACCARD_NUM, JACCARD_DEN), length_band=False,
+    ).select("id1", "id2", "inter_count", "union_count")
     m1 = sigs.select(F.col("id").alias("id1"), F.col("minhash").alias("mh1"))
     m2 = sigs.select(F.col("id").alias("id2"), F.col("minhash").alias("mh2"))
     matches = F.aggregate(

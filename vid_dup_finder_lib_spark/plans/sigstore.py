@@ -155,13 +155,15 @@ class PartitionedSignatureStore:
             F.col("bucket").isin([int(b) for b in buckets])
         )
 
-    def read_for_ids(self, ids_df: DataFrame, id_col: str = "id") -> DataFrame:
+    def read_for_ids(self, ids_df: DataFrame) -> DataFrame:
         """Bucket-pruned point-set read: scan ONLY the partitions the given
-        ids hash into, then semi-join to the exact set.  The driver sees
-        bucket NUMBERS only (distinct, ≤ num_buckets values — the same
-        discipline as ``upsert``'s dirty-set collect, never ids); at corpus
-        scale this reads O(|ids| / num_buckets · store) bytes instead of
-        the whole table."""
+        ids (first column of ``ids_df``) hash into, then semi-join to the
+        exact set.  The driver sees bucket NUMBERS only (distinct,
+        ≤ num_buckets values — the same discipline as ``upsert``'s
+        dirty-set collect, never ids); at corpus scale this reads
+        O(|ids| / num_buckets · store) bytes instead of the whole table.
+        Planning-time directory pruning is plan-asserted
+        (tests/test_search_delete.py)."""
         self._sweep_and_recover()
         spark = ids_df.sparkSession
         ids = ids_df.select(F.col(ids_df.columns[0]).alias("id")).distinct()
