@@ -355,3 +355,37 @@ def test_delete_empty_set_is_noop(spark, tmp_path):
     got = api.search_delete(empty, store, prev, TOL, CFG)
     assert _asgn(got) == _asgn(prev)
     assert (tmp_path / "store" / "_manifest.json").read_text() == manifest_before
+
+
+def test_delete_refuses_survivor_only_store(spark, tmp_path):
+    """A store missing a surviving member's signature would silently drop
+    its edges: search_delete must refuse, not return a wrong clustering."""
+    cb = CorpusBuilder(seed=84)
+    cluster_urls = cb.make_clusters(
+        num_clusters=1, first_size=4, size_step=0, intra_d=20, inter_d=200,
+        doclen=400,
+    )
+    docs = cb.to_spark(spark, partitions=1).localCheckpoint(eager=True)
+    prev = _cc_of(docs).localCheckpoint(eager=True)
+    # store holds only the first member: the others are unassignable
+    store = _store_of(
+        spark,
+        docs.where(F.col("url") == min(cluster_urls[0])),
+        tmp_path / "store",
+        buckets=4,
+    )
+    dels = spark.createDataFrame([(max(cluster_urls[0]),)], "id string")
+    with pytest.raises(ValueError, match="missing"):
+        api.search_delete(dels, store, prev, TOL, CFG, update_store=False)
+
+
+def test_threshold_sweep_empty_thresholds_raise(spark):
+    from vid_dup_finder_lib_spark.operators.components import (
+        threshold_sweep_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1, 1)], "id1 long, id2 long, inter_count long, union_count long"
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        threshold_sweep_components(edges, [])

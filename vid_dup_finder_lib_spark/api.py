@@ -311,6 +311,18 @@ def search_delete(
         .localCheckpoint(eager=True)
     )
     sigs_sub = _materialize(sigstore.read_for_ids(survivors), True)
+    # fail fast on an inconsistent store: a survivor with no stored
+    # signature would silently lose all its edges and drop out of its
+    # cluster — the store must cover every assigned doc (search_incremental
+    # maintains that invariant; a survivor-only streaming store does not)
+    n_surv, n_sigs = survivors.count(), sigs_sub.count()
+    if n_sigs < n_surv:
+        raise ValueError(
+            f"signature store is missing {n_surv - n_sigs} of {n_surv} "
+            "surviving members of affected components — search_delete "
+            "requires a FULL store (every assigned doc), not a "
+            "survivor-only one; re-run the full pipeline instead"
+        )
     pairs, _q = candidate_pairs(sigs_sub, cfg)
     edges = verified_edges(pairs, sigs_sub, cfg, tolerance=tol).select(
         "id1", "id2"

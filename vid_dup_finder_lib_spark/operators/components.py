@@ -324,6 +324,8 @@ def threshold_sweep_components(
     threshold, so a doc's label may differ across rows (tighter
     thresholds refine looser ones; the refinement is test-pinned).
     """
+    if not thresholds:
+        raise ValueError("threshold_sweep_components needs >= 1 threshold")
     e = edges.select(
         id1, id2, F.col(inter_col).alias("i"), F.col(union_col).alias("u")
     ).localCheckpoint(eager=True)
