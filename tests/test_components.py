@@ -220,3 +220,64 @@ def test_threshold_sweep_refinement(spark):
             tight.setdefault(c, []).append(i)
     for members in tight.values():
         assert len({got[(2, 5, m)] for m in members}) == 1
+
+
+def test_delete_components_randomized_vs_naive_union_find(spark):
+    """Pure-algebra property check over random graphs and delete sets: the
+    fold must equal naive union-find over the surviving subgraph, with
+    unaffected components' rows passing through label-stable."""
+    import numpy as np
+
+    from vid_dup_finder_lib_spark.operators.components import (
+        connected_components,
+        delete_components,
+    )
+
+    def naive_cc(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        n = int(rng.integers(8, 40))
+        m = int(rng.integers(4, 60))
+        edges = {
+            tuple(sorted((int(a), int(b))))
+            for a, b in rng.integers(0, n, size=(m, 2))
+            if a != b
+        }
+        nodes = sorted({x for e in edges for x in e})
+        full = naive_cc(edges, nodes)
+        prev = spark.createDataFrame(
+            [(k, v) for k, v in full.items()], "id long, component long"
+        )
+        dels = sorted({int(x) for x in rng.choice(nodes, size=max(1, len(nodes) // 4))})
+        edges_df = spark.createDataFrame(
+            [(a, b) for a, b in sorted(edges)], "id1 long, id2 long"
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in delete_components(
+                prev,
+                spark.createDataFrame([(d,) for d in dels], "id long"),
+                edges_df,
+                keep_isolated=False,
+            ).collect()
+        }
+        kept_edges = {
+            (a, b) for a, b in edges if a not in dels and b not in dels
+        }
+        kept_nodes = sorted({x for e in kept_edges for x in e})
+        want = naive_cc(kept_edges, kept_nodes)
+        assert got == want, f"trial {trial}: {got} != {want}"
