@@ -343,3 +343,38 @@ def threshold_sweep_components(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def radius_sweep_components(
+    edges: DataFrame,
+    radii: list[int],
+    id1: str = "id1",
+    id2: str = "id2",
+    dist_col: str = "token_hamming",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """The tolerance-form of ``threshold_sweep_components``: cluster the
+    same verified edge set at several Hamming radii (the reference's
+    tolerance axis, definitions.rs:40 — radius = floor(tol * 1000)).
+    Each radius must be <= the radius the edges were verified at; the
+    caller owns that monotonicity (see the Jaccard variant's docstring).
+    Returns ``(radius, id, component)``, one full clustering per level.
+    """
+    if not radii:
+        raise ValueError("radius_sweep_components needs >= 1 radius")
+    e = edges.select(
+        id1, id2, F.col(dist_col).alias("d")
+    ).localCheckpoint(eager=True)
+    out = None
+    for r in radii:
+        cc = connected_components(
+            e.where(F.col("d") <= int(r)),
+            id1=id1,
+            id2=id2,
+            max_iterations=max_iterations,
+        )
+        part = cc.select(
+            F.lit(int(r)).cast("long").alias("radius"), "id", "component"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -150,6 +150,15 @@ def main(argv: list[str] | None = None) -> int:
              "later folds see it",
     )
     p.add_argument(
+        "--sweep-tolerances", metavar="T1,T2,...",
+        help="after the run, also emit clusterings at these TIGHTER "
+             "tolerances from the SAME verified edge set (one filter + CC "
+             "pass per level — no re-hash, no re-join; the reference GUI "
+             "re-runs the whole search per tolerance change) to "
+             "<output>_sweep as (radius, cluster_id, id).  cc grouping "
+             "only; every level must be <= the run tolerance",
+    )
+    p.add_argument(
         "--restore", metavar="STAGE",
         help="restore STAGE's newest retained snapshot generation and exit "
              "(repeatable restores walk further back; the reference keeps "
@@ -170,6 +179,11 @@ def main(argv: list[str] | None = None) -> int:
         )
     if (args.incremental_add or args.incremental_delete) and not args.output:
         p.error("--incremental-add/--incremental-delete require --output")
+    if args.sweep_tolerances and not args.output:
+        p.error("--sweep-tolerances requires --output")
+    if args.sweep_tolerances and args.grouping != "cc":
+        p.error("--sweep-tolerances supports cc grouping only (greedy "
+                "matchsets are order-sensitive; no per-level reuse exists)")
     if args.incremental_add and args.incremental_delete:
         p.error(
             "--incremental-add and --incremental-delete are one fold each: "
@@ -390,6 +404,33 @@ def main(argv: list[str] | None = None) -> int:
             grouped.write.mode("overwrite").json(args.output)
         else:
             res.groups.write.mode("overwrite").parquet(args.output)
+    if args.sweep_tolerances:
+        from pyspark.sql import functions as F
+
+        from vid_dup_finder_lib_spark.operators.components import (
+            radius_sweep_components,
+        )
+
+        run_tol = (
+            args.tolerance
+            if args.tolerance is not None
+            else DEFAULT_CONFIG.default_tolerance
+        )
+        tols = [float(x) for x in args.sweep_tolerances.split(",")]
+        too_loose = [t for t in tols if t > run_tol]
+        if too_loose:
+            raise SystemExit(
+                f"--sweep-tolerances levels {too_loose} exceed the run "
+                f"tolerance {run_tol}: the edge set was verified at radius "
+                f"{DEFAULT_CONFIG.radius(run_tol)} and holds no looser "
+                "pairs — re-run the pipeline at the loosest level instead"
+            )
+        sweep = radius_sweep_components(
+            res.edges, [DEFAULT_CONFIG.radius(t) for t in tols]
+        )
+        sweep.select(
+            "radius", F.col("component").alias("cluster_id"), "id"
+        ).write.mode("overwrite").parquet(args.output + "_sweep")
     if args.output_unique:
         from vid_dup_finder_lib_spark.operators.matchdb import unique_docs
 
