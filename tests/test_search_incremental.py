@@ -156,3 +156,37 @@ def test_incremental_empty_batch_is_noop(spark, tmp_path):
     want = {r["id"]: r["component"] for r in prev.collect()}
     assert got == want
     assert store.read(spark).count() == 4
+
+
+def test_incremental_parity_length_heterogeneous_neardups(spark, tmp_path):
+    """Length ratios in (1.05, 1.10]: the J3 ref-centric ±5% band would
+    silently drop the old-new cross edge that from-scratch self-search
+    (symmetric 1.10 band) keeps — search_incremental must use the SELF
+    band (refs_edges_from_signatures(length_band='self'))."""
+    cb = CorpusBuilder(seed=71)
+    base = cb.base_tokens(400)
+    cb.add_doc("https://x.example/a", base)
+    cb.add_doc("https://x.example/b", base + cb.base_tokens(30))  # ratio 1.075
+    docs = cb.to_spark(spark, partitions=1).localCheckpoint(eager=True)
+    old_docs = docs.where(F.col("url").endswith("/a"))
+    new_docs = docs.where(F.col("url").endswith("/b"))
+
+    from vid_dup_finder_lib_spark.operators.signatures import build_signatures
+
+    store = PartitionedSignatureStore(str(tmp_path / "store"), CFG, num_buckets=4)
+    store.write_full(build_signatures(old_docs, CFG, "url", "text"))
+    prev = _cc_of(old_docs)  # single doc, no edges -> empty assignment
+
+    got = {
+        r["id"]: r["component"]
+        for r in api.search_incremental(new_docs, store, prev, TOL, CFG).collect()
+    }
+    want = {
+        r["id"]: r["component"]
+        for r in _cc_of(docs).collect()
+    }
+    assert want == {
+        "https://x.example/a": "https://x.example/a",
+        "https://x.example/b": "https://x.example/a",
+    }, "fixture regression: the pair must be a from-scratch near-dup"
+    assert got == want

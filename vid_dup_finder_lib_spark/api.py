@@ -25,6 +25,7 @@ from vid_dup_finder_lib_spark.operators.signatures import build_signatures
 from vid_dup_finder_lib_spark.operators.verify import (
     attach_signatures,
     ref_length_band,
+    self_length_band,
     tolerance_predicate,
     verified_edges,
     with_distances,
@@ -130,6 +131,7 @@ def refs_edges_from_signatures(
     cand_sigs: DataFrame,
     tolerance: float,
     cfg: SigConfig = DEFAULT_CONFIG,
+    length_band: str = "ref",
 ) -> DataFrame:
     """:func:`search_with_references` over ALREADY-BUILT signature tables —
     the entry point for callers that persist signatures (the incremental
@@ -138,8 +140,21 @@ def refs_edges_from_signatures(
     a store read of it); both feed two consumers here, so materialize them
     first if they have a recompute upstream.
 
+    ``length_band`` selects which duration-window rule gates the pairs:
+
+    * ``"ref"`` (default) — the reference's ref-centric ±5 % window
+      (search_algorithm.rs:173-185), the J3 refs-search semantics;
+    * ``"self"`` — the symmetric 1.10-ratio self-search window
+      (search_algorithm.rs:93-116).  REQUIRED when the caller's contract
+      is parity with a from-scratch self-search over the union corpus
+      (``search_incremental``, streaming near-dup ingest): the two
+      windows differ on length ratios in (1.05, 1.10], so the ref window
+      silently drops edges the self-search would keep.
+
     Returns (ref_id, cand_id, token_hamming).
     """
+    if length_band not in ("ref", "self"):
+        raise ValueError(f"length_band must be 'ref' or 'self', got {length_band!r}")
     rk = band_keys(ref_sigs, cfg).select("band_id", "band_hash", F.col("id").alias("id1"))
     ck = band_keys(cand_sigs, cfg).select("band_id", "band_hash", F.col("id").alias("id2"))
     pairs = rk.join(ck, ["band_id", "band_hash"]).select("id1", "id2").distinct()
@@ -154,8 +169,13 @@ def refs_edges_from_signatures(
             signatures2=cand_sigs,
         )
     )
-    matched = both.where(
+    band = (
         ref_length_band(cfg, F.col("len1"), F.col("len2"))
+        if length_band == "ref"
+        else self_length_band(cfg)
+    )
+    matched = both.where(
+        band
         & tolerance_predicate(cfg, tolerance)
         & (F.col("id1") != F.col("id2"))
     )
@@ -228,7 +248,9 @@ def search_incremental(
     edges_nn = verified_edges(pairs, sigs_new, cfg, tolerance=tol).select(
         "id1", "id2"
     )
-    edges_no = refs_edges_from_signatures(old_sigs, sigs_new, tol, cfg).select(
+    edges_no = refs_edges_from_signatures(
+        old_sigs, sigs_new, tol, cfg, length_band="self"
+    ).select(
         F.col("ref_id").alias("id1"), F.col("cand_id").alias("id2")
     )
     assignment = incremental_components(

@@ -84,7 +84,7 @@ def assign_canonicals(
     )
     if store.exists():
         old_edges = refs_edges_from_signatures(
-            store.read(spark), sigs_new, tolerance, cfg
+            store.read(spark), sigs_new, tolerance, cfg, length_band="self"
         )
         old_min = old_edges.groupBy(F.col("cand_id").alias("id")).agg(
             F.min("ref_id").alias("old_match")
