@@ -348,6 +348,37 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-merge clustering (api.search_merge's algebra): the node set is
+    split into two disjoint shards (doc_id % 3 == 0 vs the rest — mutated
+    copies land on the other side of their base, so clusters SPAN the
+    split), each shard is clustered independently from its internal edges,
+    then the two assignments are merged with only the CROSS edges via the
+    star-contraction identity: CC(star(G_A) ∪ star(G_B) ∪ E_AB) ==
+    CC(G_A ∪ G_B ∪ E_AB).  Oracle = from-scratch recursive-CTE CC over
+    all edges, so the gate checks a pairwise shard merge reproduces the
+    monolithic clustering exactly."""
+    from vid_dup_finder_lib_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    edges = _lsh_edges(spark, sf_dir).select(
+        F.col("id1").cast("long").alias("id1"), F.col("id2").cast("long").alias("id2")
+    )
+    in_a1, in_a2 = F.col("id1") % 3 == 0, F.col("id2") % 3 == 0
+    side_a = edges.where(in_a1 & in_a2)
+    side_b = edges.where(~in_a1 & ~in_a2)
+    cross = edges.where(in_a1 != in_a2)
+    prev = connected_components(side_a).unionByName(
+        connected_components(side_b)
+    )
+    return incremental_components(prev, cross).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+
+
 def q_incremental_delete_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion fold (operators/components.delete_components): a
     deterministic subset of assigned docs (id % 7 == 3) is removed from the
@@ -2184,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_report": q_corpus_mix_report,
         "connected_components": q_connected_components,
         "incremental_cc": q_incremental_cc,
+        "merge_cc": q_merge_cc,
         "incremental_delete_cc": q_incremental_delete_cc,
         "threshold_sweep_cc": q_threshold_sweep_cc,
         "minhash_estimate_pairs": q_minhash_estimate_pairs,
@@ -2290,6 +2322,9 @@ cc AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM walk GROUP BY id)
         # the incremental path must equal from-scratch CC (star-contraction
         # identity) — same oracle as connected_components
         "incremental_cc": prologue_r + sql_cc + "SELECT doc_id, cluster_id FROM cc",
+        # pairwise shard merge must equal the monolithic clustering (star-
+        # contraction identity applied twice) — same oracle again
+        "merge_cc": prologue_r + sql_cc + "SELECT doc_id, cluster_id FROM cc",
         # tolerance-slider sweep: one clustering per threshold, each a
         # further filter of the SAME verified pair set
         "threshold_sweep_cc": prologue_r + r"""

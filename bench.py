@@ -141,6 +141,7 @@ def main() -> None:
         "cluster_purity",
         "corpus_redundancy_report",
         "incremental_cc",
+        "merge_cc",
         "incremental_delete_cc",
         "threshold_sweep_cc",
         "minhash_estimate_pairs",

@@ -355,3 +355,65 @@ def search_delete(
     if update_store:
         sigstore.delete(dels)
     return assignment
+
+
+def search_merge(
+    sigstore_a,
+    prev_a: DataFrame,
+    sigstore_b,
+    prev_b: DataFrame,
+    tolerance: float | None = None,
+    cfg: SigConfig = DEFAULT_CONFIG,
+    update_store: bool = True,
+) -> DataFrame:
+    """Merge two INDEPENDENTLY-clustered corpora with disjoint ids (two
+    monthly crawls, two shards of a sharded build) into one clustering
+    without re-searching within either side — the hierarchical composition
+    the reference cannot express (it regroups one monolithic match DB per
+    run, match_db.rs).
+
+    Only the CROSS edges A×B are computed (LSH band join between the two
+    persisted signature stores, ``length_band='self'`` so the pair window
+    matches from-scratch self-search), then both assignments — each
+    already a star forest with its side's connectivity — are merged with
+    the cross edges by the star-contraction identity:
+    ``CC(star(G_A) ∪ star(G_B) ∪ E_AB) == CC(G_A ∪ G_B ∪ E_AB)``.
+    Provably equal to a from-scratch search over the union corpus
+    (test-pinned, including clusters spanning the split); enables a
+    shard-then-merge corpus build where each shard clusters in isolation
+    and merges pairwise, paying O(|A|·|B| band collisions) per merge
+    instead of O((|A|+|B|)²) re-search.
+
+    Ids must be disjoint (overlaps raise: the same id on both sides means
+    the corpora are not independent shards — run the full pipeline).
+    ``update_store`` grows store A by store B's rows (O(|B|) bucket
+    rewrite); the returned assignment covers every node of both previous
+    assignments plus any doc in a cross edge.
+    """
+    from vid_dup_finder_lib_spark.operators.components import (
+        incremental_components,
+    )
+
+    tol = cfg.default_tolerance if tolerance is None else tolerance
+    spark = prev_a.sparkSession
+    sigs_a = _materialize(sigstore_a.read(spark), True)
+    sigs_b = _materialize(sigstore_b.read(spark), True)
+    n_overlap = sigs_a.select("id").join(
+        sigs_b.select("id"), "id", "left_semi"
+    ).count()
+    if n_overlap:
+        raise ValueError(
+            f"search_merge requires disjoint corpora: {n_overlap} ids "
+            "appear in both signature stores — shards sharing docs are "
+            "not independent; run the full pipeline over the union"
+        )
+    cross = refs_edges_from_signatures(
+        sigs_a, sigs_b, tol, cfg, length_band="self"
+    ).select(F.col("ref_id").alias("id1"), F.col("cand_id").alias("id2"))
+    prev = prev_a.select("id", "component").unionByName(
+        prev_b.select("id", "component")
+    )
+    assignment = incremental_components(prev, _materialize(cross, True))
+    if update_store:
+        sigstore_a.upsert(sigs_b.select(*sigs_a.columns))
+    return assignment
