@@ -83,6 +83,78 @@ def test_merge_length_heterogeneous_cross_pair(spark, tmp_path):
     assert got == _asgn(_cc_of(docs)) and len(got) == 2
 
 
+def test_job_cli_merge_with(spark, tmp_path):
+    """--merge-with combines two independently-built shard checkpoints into
+    one clustering equal to a full job over the union corpus; read-only on
+    both stores unless --incremental-commit; corpus-global preprocessing
+    flags refuse."""
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=97)
+    clusters = cb.make_clusters(
+        num_clusters=2, first_size=4, size_step=1, intra_d=25, inter_d=300,
+        doclen=600,
+    )
+    all_docs = cb.to_spark(spark, partitions=2).localCheckpoint(eager=True)
+    # cluster 1 spans the split: 2 members go to shard B with cluster 0's
+    # complement, so only the merge's cross edges can reunite it
+    b_urls = set(sorted(clusters[1])[:2])
+    cond = F.col("url").isin(*sorted(b_urls))
+    a_path, b_path, union_path = (
+        str(tmp_path / n) for n in ("a_docs", "b_docs", "union_docs")
+    )
+    all_docs.where(~cond).write.parquet(a_path)
+    all_docs.where(cond).write.parquet(b_path)
+    all_docs.write.parquet(union_path)
+
+    ckpt_a, ckpt_b = str(tmp_path / "ckpt_a"), str(tmp_path / "ckpt_b")
+    for docs_path, ckpt in ((a_path, ckpt_a), (b_path, ckpt_b)):
+        assert job.main([
+            "--docs", docs_path, "--checkpoint", ckpt, "--tolerance", "0.100",
+        ]) == 0
+    manifest_a = tmp_path / "ckpt_a" / "signatures" / "_manifest.json"
+    before = manifest_a.read_text()
+
+    merge_out = str(tmp_path / "merge_groups")
+    assert job.main([
+        "--merge-with", ckpt_b, "--checkpoint", ckpt_a,
+        "--tolerance", "0.100", "--output", merge_out,
+    ]) == 0
+    assert manifest_a.read_text() == before  # read-only without commit
+
+    full_ckpt, full_out = str(tmp_path / "ckpt_full"), str(tmp_path / "full_groups")
+    assert job.main([
+        "--docs", union_path, "--checkpoint", full_ckpt,
+        "--tolerance", "0.100", "--output", full_out,
+    ]) == 0
+    got = {
+        (r["cluster_id"], r["id"]) for r in spark.read.parquet(merge_out).collect()
+    }
+    want = {
+        (r["cluster_id"], r["id"]) for r in spark.read.parquet(full_out).collect()
+    }
+    assert got == want and len(got) == 9
+
+    # corpus-global preprocessing refuses
+    with pytest.raises(SystemExit, match="per-doc preprocessing only"):
+        job.main([
+            "--merge-with", ckpt_b, "--checkpoint", ckpt_a,
+            "--tolerance", "0.100", "--output", merge_out,
+            "--strip-boilerplate",
+        ])
+
+    # committing grows store A by B's rows
+    assert job.main([
+        "--merge-with", ckpt_b, "--checkpoint", ckpt_a,
+        "--tolerance", "0.100", "--output", merge_out, "--incremental-commit",
+    ]) == 0
+    assert manifest_a.read_text() != before
+    import json as _json
+
+    manifest = _json.loads(manifest_a.read_text())
+    assert sum(manifest["partition_rows"].values()) == all_docs.count()
+
+
 def test_merge_refuses_overlapping_ids(spark, tmp_path):
     cb = CorpusBuilder(seed=63)
     cb.add_singletons(3, 300, 400, site=1)

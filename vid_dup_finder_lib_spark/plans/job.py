@@ -144,10 +144,25 @@ def main(argv: list[str] | None = None) -> int:
              "--incremental-commit.  cc grouping only",
     )
     p.add_argument(
+        "--merge-with", metavar="OTHER_CHECKPOINT",
+        help="SHARD MERGE: combine this checkpoint's clustering with "
+             "another checkpoint's (two shards built independently over "
+             "DISJOINT id sets — two monthly crawls, two halves of a "
+             "sharded build) into one clustering WITHOUT re-searching "
+             "within either side: only the cross edges A×B are computed "
+             "(LSH band join between the two signature stores), then the "
+             "two assignments merge via the star-contraction identity — "
+             "provably equal to a full run over the union corpus.  Writes "
+             "the merged (cluster_id, id) assignment to --output; "
+             "read-only on both checkpoints unless --incremental-commit "
+             "(which grows THIS checkpoint's store by the other's rows).  "
+             "cc grouping only; overlapping ids refuse",
+    )
+    p.add_argument(
         "--incremental-commit", action="store_true",
-        help="with --incremental-add/--incremental-delete: also apply the "
-             "fold to the signature store (O(delta) bucket rewrite) so "
-             "later folds see it",
+        help="with --incremental-add/--incremental-delete/--merge-with: "
+             "also apply the fold to the signature store (O(delta) bucket "
+             "rewrite) so later folds see it",
     )
     p.add_argument(
         "--sweep-tolerances", metavar="T1,T2,...",
@@ -171,14 +186,24 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     if not args.docs and not (
         args.restore or args.list_snapshots or args.incremental_add
-        or args.incremental_delete
+        or args.incremental_delete or args.merge_with
     ):
         p.error(
             "--docs is required unless --restore/--list-snapshots/"
-            "--incremental-add/--incremental-delete"
+            "--incremental-add/--incremental-delete/--merge-with"
         )
-    if (args.incremental_add or args.incremental_delete) and not args.output:
-        p.error("--incremental-add/--incremental-delete require --output")
+    if (
+        args.incremental_add or args.incremental_delete or args.merge_with
+    ) and not args.output:
+        p.error(
+            "--incremental-add/--incremental-delete/--merge-with require "
+            "--output"
+        )
+    if args.merge_with and (args.incremental_add or args.incremental_delete):
+        p.error(
+            "--merge-with is one fold: run add/delete folds as separate "
+            "invocations (order matters for labels)"
+        )
     if args.sweep_tolerances and not args.output:
         p.error("--sweep-tolerances requires --output")
     if args.sweep_tolerances and args.grouping != "cc":
@@ -219,6 +244,72 @@ def main(argv: list[str] | None = None) -> int:
             "restored": args.restore,
             "row_count": m.get("row_count"),
             "remaining_snapshots": store.snapshots(args.restore),
+        }, indent=2))
+        return 0
+
+    if args.merge_with:
+        import os
+
+        from vid_dup_finder_lib_spark import api
+        from vid_dup_finder_lib_spark.plans.sigstore import (
+            PartitionedSignatureStore,
+        )
+
+        spark = SparkSession.builder.appName(
+            "vid-dup-finder-spark-merge"
+        ).getOrCreate()
+        from pyspark.sql import functions as F
+
+        if (
+            args.canonicalize_urls
+            or args.strip_boilerplate
+            or args.dedup_paragraphs
+        ):
+            raise SystemExit(
+                "--merge-with supports per-doc preprocessing only: the "
+                "corpus-GLOBAL stages (URL revisit collapse, boilerplate "
+                "df counts, first-wins paragraph dedup) would have picked "
+                "different survivors on the union corpus than on each "
+                "shard — rerun the full pipeline over the union.  Per-doc "
+                "stages (--quality-gate, --decontam) compose and are fine"
+            )
+
+        def _open_shard(root: str):
+            groups = spark.read.parquet(os.path.join(root, "groups", "data"))
+            if "is_seed" in groups.columns:
+                raise SystemExit(
+                    f"--merge-with supports cc grouping only: {root} holds "
+                    "matchset-mode groups (greedy order-sensitive; no merge "
+                    "algebra exists) — rerun the full pipeline over the union"
+                )
+            store = PartitionedSignatureStore(
+                os.path.join(root, "signatures"),
+                DEFAULT_CONFIG,
+                extra_fingerprint=_flag_extras(args),
+            )
+            return store, groups.select(
+                F.col("id"), F.col("cluster_id").alias("component")
+            )
+
+        store_a, prev_a = _open_shard(args.checkpoint)
+        store_b, prev_b = _open_shard(args.merge_with)
+        assignment = api.search_merge(
+            store_a,
+            prev_a,
+            store_b,
+            prev_b,
+            tolerance=args.tolerance,
+            cfg=DEFAULT_CONFIG,
+            update_store=args.incremental_commit,
+        )
+        out = assignment.select(
+            F.col("component").alias("cluster_id"), "id"
+        ).localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({
+            "merged_with": args.merge_with,
+            "assigned_rows": out.count(),
+            "store_committed": bool(args.incremental_commit),
         }, indent=2))
         return 0
 
