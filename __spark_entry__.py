@@ -379,6 +379,35 @@ def q_merge_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_many_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-way shard merge (api.search_merge_many's algebra, K=3): nodes are
+    sharded by doc_id % 3, each shard clustered independently from its
+    internal edges, then ALL three assignments merge with the cross-shard
+    edges in ONE incremental_components pass (star-contraction identity
+    applied K-fold — one job instead of K-1 pairwise merges).  Oracle =
+    from-scratch recursive-CTE CC over all edges."""
+    from functools import reduce
+
+    from vid_dup_finder_lib_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    edges = _lsh_edges(spark, sf_dir).select(
+        F.col("id1").cast("long").alias("id1"), F.col("id2").cast("long").alias("id2")
+    )
+    s1, s2 = F.col("id1") % 3, F.col("id2") % 3
+    prev = reduce(
+        DataFrame.unionByName,
+        [connected_components(edges.where((s1 == k) & (s2 == k))) for k in range(3)],
+    )
+    cross = edges.where(s1 != s2)
+    return incremental_components(prev, cross).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+
+
 def q_incremental_delete_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion fold (operators/components.delete_components): a
     deterministic subset of assigned docs (id % 7 == 3) is removed from the
@@ -2216,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "incremental_cc": q_incremental_cc,
         "merge_cc": q_merge_cc,
+        "merge_many_cc": q_merge_many_cc,
         "incremental_delete_cc": q_incremental_delete_cc,
         "threshold_sweep_cc": q_threshold_sweep_cc,
         "minhash_estimate_pairs": q_minhash_estimate_pairs,
@@ -2325,6 +2355,9 @@ cc AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM walk GROUP BY id)
         # pairwise shard merge must equal the monolithic clustering (star-
         # contraction identity applied twice) — same oracle again
         "merge_cc": prologue_r + sql_cc + "SELECT doc_id, cluster_id FROM cc",
+        # K-way merge (one incremental pass over K star forests + cross
+        # edges) must also equal the monolithic clustering
+        "merge_many_cc": prologue_r + sql_cc + "SELECT doc_id, cluster_id FROM cc",
         # tolerance-slider sweep: one clustering per threshold, each a
         # further filter of the SAME verified pair set
         "threshold_sweep_cc": prologue_r + r"""

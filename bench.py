@@ -142,6 +142,7 @@ def main() -> None:
         "corpus_redundancy_report",
         "incremental_cc",
         "merge_cc",
+        "merge_many_cc",
         "incremental_delete_cc",
         "threshold_sweep_cc",
         "minhash_estimate_pairs",

@@ -83,6 +83,48 @@ def test_merge_length_heterogeneous_cross_pair(spark, tmp_path):
     assert got == _asgn(_cc_of(docs)) and len(got) == 2
 
 
+def test_merge_many_equals_full_search(spark, tmp_path):
+    """3-way merge in one job: clusters spanning every pair of shards must
+    reunite; store 0 grows by both other shards; K<2 and overlaps refuse."""
+    cb = CorpusBuilder(seed=64)
+    clusters = cb.make_clusters(
+        num_clusters=3, first_size=4, size_step=1, intra_d=25, inter_d=300,
+        doclen=500,
+    )
+    cb.add_singletons(2, 300, 400, site=9)
+    all_docs = cb.to_spark(spark, partitions=4).localCheckpoint(eager=True)
+    # shard 0: cluster0 + 1 member of cluster1; shard 1: rest of cluster1 +
+    # 1 member of cluster2; shard 2: rest of cluster2 + the singletons —
+    # clusters 1 and 2 each span a DIFFERENT shard pair
+    c1, c2 = sorted(clusters[1]), sorted(clusters[2])
+    in0 = set(clusters[0]) | {c1[0]}
+    in1 = set(c1[1:]) | {c2[0]}
+    conds = [
+        F.col("url").isin(*sorted(in0)),
+        F.col("url").isin(*sorted(in1)),
+        ~F.col("url").isin(*sorted(in0 | in1)),
+    ]
+    shards = []
+    for k, cond in enumerate(conds):
+        docs_k = all_docs.where(cond).localCheckpoint(eager=True)
+        store_k = _store_of(spark, docs_k, tmp_path / f"s{k}")
+        shards.append((store_k, _cc_of(docs_k).localCheckpoint(eager=True)))
+
+    got = _asgn(api.search_merge_many(shards, TOL, CFG))
+    want = _asgn(_cc_of(all_docs))
+    assert got == want
+    for cl in (clusters[1], clusters[2]):
+        assert len({want[u] for u in cl}) == 1
+    assert shards[0][0].read(spark).count() == all_docs.count()
+
+    with pytest.raises(ValueError, match="at least 2"):
+        api.search_merge_many(shards[:1], TOL, CFG)
+    with pytest.raises(ValueError, match="disjoint"):
+        api.search_merge_many(
+            [shards[0], shards[0]], TOL, CFG, update_store=False
+        )
+
+
 def test_job_cli_merge_with(spark, tmp_path):
     """--merge-with combines two independently-built shard checkpoints into
     one clustering equal to a full job over the union corpus; read-only on

@@ -417,3 +417,90 @@ def search_merge(
     if update_store:
         sigstore_a.upsert(sigs_b.select(*sigs_a.columns))
     return assignment
+
+
+def search_merge_many(
+    shards,
+    tolerance: float | None = None,
+    cfg: SigConfig = DEFAULT_CONFIG,
+    update_store: bool = True,
+) -> DataFrame:
+    """K-way generalization of :func:`search_merge`: merge K independently-
+    clustered corpora with pairwise-disjoint ids in ONE job instead of K-1
+    sequential pairwise merges.
+
+    The union of all K signature tables goes through the SAME skew-managed
+    LSH candidate machinery as a from-scratch self-search
+    (``candidate_pairs``: plain / salted-triangle / quarantine tiers), but
+    intra-shard pairs are dropped BEFORE the expensive verify attach — each
+    shard's internal connectivity is already present in its previous
+    assignment (a star forest), so only cross-shard pairs need signature
+    arrays shuffled to them.  One ``incremental_components`` pass over the
+    union of all K star forests plus the verified cross edges then yields
+    the merged clustering (star-contraction identity, applied K-fold).
+
+    Equal to a from-scratch search over the union corpus whenever no LSH
+    bucket crosses the quarantine cap; in quarantine regimes the merged
+    result is a recall SUPERSET of the monolithic run (shard-local buckets
+    are smaller, so shard runs keep pairs a union-scale bucket would
+    quarantine) — the desirable direction for dedup.
+
+    ``shards``: sequence of ``(sigstore, prev_assignment)``; ids must be
+    disjoint across ALL shards (checked in one aggregation — a shared id
+    means the corpora are not independent shards).  ``update_store`` grows
+    shard 0's store by every other shard's rows in a single O(sum |B_i|)
+    upsert.
+    """
+    from functools import reduce
+
+    from vid_dup_finder_lib_spark.operators.components import (
+        incremental_components,
+    )
+
+    shards = list(shards)
+    if len(shards) < 2:
+        raise ValueError("search_merge_many needs at least 2 shards")
+    tol = cfg.default_tolerance if tolerance is None else tolerance
+    spark = shards[0][1].sparkSession
+    sigs = [_materialize(store.read(spark), True) for store, _ in shards]
+    tagged = reduce(
+        DataFrame.unionByName,
+        [s.withColumn("_shard", F.lit(i)) for i, s in enumerate(sigs)],
+    )
+    n_overlap = tagged.groupBy("id").count().where(F.col("count") > 1).count()
+    if n_overlap:
+        raise ValueError(
+            f"search_merge_many requires pairwise-disjoint corpora: "
+            f"{n_overlap} ids appear in more than one signature store — "
+            "shards sharing docs are not independent; run the full "
+            "pipeline over the union"
+        )
+    tagged = _materialize(tagged, True)  # feeds band keys + verify attach
+    union_sigs = tagged.drop("_shard")
+    pairs, _quarantined = candidate_pairs(union_sigs, cfg)
+    tags = tagged.select("id", "_shard")
+    cross = (
+        pairs.join(
+            tags.select(F.col("id").alias("id1"), F.col("_shard").alias("_s1")),
+            "id1",
+        )
+        .join(
+            tags.select(F.col("id").alias("id2"), F.col("_shard").alias("_s2")),
+            "id2",
+        )
+        .where(F.col("_s1") != F.col("_s2"))
+        .select("id1", "id2")
+    )
+    edges = verified_edges(cross, union_sigs, cfg, tolerance=tol)
+    prev = reduce(
+        DataFrame.unionByName,
+        [p.select("id", "component") for _, p in shards],
+    )
+    assignment = incremental_components(
+        prev, _materialize(edges.select("id1", "id2"), True)
+    )
+    if update_store:
+        store0 = shards[0][0]
+        others = reduce(DataFrame.unionByName, sigs[1:])
+        store0.upsert(others.select(*sigs[0].columns))
+    return assignment
