@@ -2222,6 +2222,82 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size distribution over the near-dup clustering, with the
+    unclustered complement as the size-1 bucket (components.
+    cluster_size_histogram) — sum(cluster_size * n_clusters) == corpus
+    size, so the report is self-contained."""
+    from vid_dup_finder_lib_spark.operators.components import (
+        cluster_size_histogram,
+        connected_components,
+    )
+
+    edges = _lsh_edges(spark, sf_dir)
+    cc = connected_components(edges)
+    total = (
+        _docs(spark, sf_dir, widen=False)
+        .agg((F.count(F.lit(1)) * 2).cast("long").alias("n_total"))
+    )
+    return cluster_size_histogram(cc, n_total_docs=total)
+
+
+def q_clustering_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-drift audit (components.clustering_agreement): pair-level
+    precision/recall of the TIGHT clustering (J >= 2/3) against the
+    standard one (J >= 2/5), from contingency C(n,2) sums — no pair set is
+    ever materialized, so the same audit runs at 10^12 docs.  Both
+    clusterings share one verified edge set (the threshold-sweep
+    discipline: tighter thresholds only ever filter it)."""
+    from vid_dup_finder_lib_spark.operators.components import (
+        clustering_agreement,
+        connected_components,
+    )
+
+    edges = _lsh_edges(spark, sf_dir)
+    loose = connected_components(edges)
+    tight = connected_components(
+        edges.where(F.col("inter_count") * 3 >= F.col("union_count") * 2)
+    )
+    return clustering_agreement(loose, tight)
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-dump overlap matrix (dedup.source_overlap_matrix): docs of
+    source_a whose exact content also appears in source_b.  Derived corpus:
+    base docs keep their source; verbatim copies (+200000) land in the NEXT
+    source (suffix+1 mod n_src) — planted cross-dump duplication with known
+    ground truth (every source fully duplicated into its successor)."""
+    from vid_dup_finder_lib_spark.operators.dedup import source_overlap_matrix
+
+    docs = _docs(spark, sf_dir, widen=False)
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source"),
+        tokens_col(normalize_text(F.col("text"))).alias("toks"),
+    )
+    n_src = tok.agg(
+        F.countDistinct("source").cast("int").alias("__n_src")
+    )
+    base = tok.select(
+        "doc_id", "source", F.array_join("toks", " ").alias("text")
+    )
+    copies = (
+        tok.crossJoin(F.broadcast(n_src))
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(
+                F.lit("src"),
+                (
+                    (F.substring("source", 4, 10).cast("int") + 1)
+                    % F.col("__n_src")
+                ).cast("string"),
+            ).alias("source"),
+            F.array_join("toks", " ").alias("text"),
+        )
+    )
+    return source_overlap_matrix(base.unionByName(copies))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2249,6 +2325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_delete_cc": q_incremental_delete_cc,
         "threshold_sweep_cc": q_threshold_sweep_cc,
         "minhash_estimate_pairs": q_minhash_estimate_pairs,
+        "cluster_size_histogram": q_cluster_size_histogram,
+        "clustering_agreement": q_clustering_agreement,
+        "source_overlap_matrix": q_source_overlap_matrix,
         "cluster_members": q_cluster_members,
         "cluster_purity": q_cluster_purity,
         "corpus_redundancy_report": q_corpus_redundancy_report,
@@ -3581,6 +3660,77 @@ FROM hits
 """,
         # token-weighted mix report over the DETECTED language; hugeint
         # mirrors the engine's decimal(38,0) overflow-safe ppm division
+        # size-1 bucket = derived-corpus docs (2x base) minus clustered docs
+        "cluster_size_histogram": prologue_r + sql_cc + r"""
+, sizes AS (SELECT cluster_id, count(*)::BIGINT AS sz FROM cc GROUP BY 1),
+hist AS (
+  SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+         sum(sz)::BIGINT AS n_docs
+  FROM sizes GROUP BY 1
+),
+tot AS (SELECT (2 * count(*))::BIGINT AS n_total FROM documents),
+clus AS (SELECT count(*)::BIGINT AS n FROM cc)
+SELECT cluster_size, n_clusters, n_docs FROM hist
+UNION ALL
+SELECT 1::BIGINT, (t.n_total - c.n)::BIGINT, (t.n_total - c.n)::BIGINT
+FROM tot t, clus c WHERE t.n_total - c.n > 0
+""",
+        # tight (J>=2/3) clustering judged against the loose (J>=2/5) one:
+        # Rand-identity contingency sums, singletons encoded as -id-1 cells
+        "clustering_agreement": prologue_r + sql_cc + r"""
+, k2 AS (SELECT id1, id2 FROM jpairs WHERE inter_count * 3 >= union_count * 2),
+s2 AS (SELECT id1 AS a, id2 AS b FROM k2 UNION SELECT id2, id1 FROM k2),
+w2(id, r) AS (
+  SELECT a, a FROM s2
+  UNION
+  SELECT w.id, s.b FROM w2 w JOIN s2 s ON w.r = s.a
+),
+c2 AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM w2 GROUP BY id),
+uni AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS id,
+         coalesce(a.cluster_id, -coalesce(a.doc_id, b.doc_id) - 1) AS ca,
+         coalesce(b.cluster_id, -coalesce(a.doc_id, b.doc_id) - 1) AS cb
+  FROM cc a FULL OUTER JOIN c2 b ON a.doc_id = b.doc_id
+),
+pa AS (SELECT coalesce(sum((n * (n - 1) // 2)::HUGEINT), 0::HUGEINT) AS v
+       FROM (SELECT count(*)::BIGINT AS n FROM uni GROUP BY ca)),
+pb AS (SELECT coalesce(sum((n * (n - 1) // 2)::HUGEINT), 0::HUGEINT) AS v
+       FROM (SELECT count(*)::BIGINT AS n FROM uni GROUP BY cb)),
+pab AS (SELECT coalesce(sum((n * (n - 1) // 2)::HUGEINT), 0::HUGEINT) AS v
+        FROM (SELECT count(*)::BIGINT AS n FROM uni GROUP BY ca, cb)),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM uni)
+SELECT nd.n_docs,
+       pa.v AS pairs_a, pb.v AS pairs_b, pab.v AS pairs_both,
+       (pab.v * 1000000 // greatest(pb.v, 1))::BIGINT AS precision_ppm,
+       (pab.v * 1000000 // greatest(pa.v, 1))::BIGINT AS recall_ppm
+FROM nd, pa, pb, pab
+""",
+        # copies land in the successor source: every source is fully
+        # duplicated into the next (and mirrors back), nothing else overlaps
+        "source_overlap_matrix": _SQL_PROLOGUE + r"""
+, nsrc AS (SELECT count(DISTINCT source)::INT AS n FROM documents),
+src_of AS (SELECT doc_id::BIGINT AS doc_id, source FROM documents),
+corpus AS (
+  SELECT t.doc_id, s.source, array_to_string(t.toks, ' ') AS text
+  FROM tok t JOIN src_of s USING (doc_id)
+  UNION ALL
+  SELECT t.doc_id + 200000,
+         'src' || ((substr(s.source, 4)::INT + 1) % nsrc.n)::VARCHAR,
+         array_to_string(t.toks, ' ')
+  FROM tok t JOIN src_of s USING (doc_id), nsrc
+),
+hashed AS (SELECT source AS src, doc_id AS id, sha256(text) AS h FROM corpus),
+per_source AS (SELECT src, count(*)::BIGINT AS n_docs_a FROM hashed GROUP BY 1),
+hs AS (SELECT h, list_distinct(list(src)) AS srcs FROM hashed WHERE h IS NOT NULL GROUP BY h),
+ov AS (
+  SELECT x.src, u.other, count(*)::BIGINT AS n_overlap
+  FROM hashed x JOIN hs USING (h), unnest(hs.srcs) AS u(other)
+  WHERE u.other != x.src
+  GROUP BY 1, 2
+)
+SELECT o.src AS source_a, o.other AS source_b, p.n_docs_a, o.n_overlap
+FROM ov o JOIN per_source p ON o.src = p.src
+""",
         "corpus_mix_report": _SQL_PROLOGUE
         + f"""
 , hits AS (

@@ -378,3 +378,153 @@ def radius_sweep_components(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def cluster_size_histogram(
+    assignment: DataFrame,
+    n_total_docs: DataFrame | None = None,
+    id_col: str = "id",
+    component_col: str = "component",
+) -> DataFrame:
+    """Component-size distribution report: ``(cluster_size, n_clusters,
+    n_docs)`` — the one-page shape summary an operator reads after a dedup
+    run (a fat head of giant clusters means template spam or a too-loose
+    threshold; the reference GUI surfaces the same signal as its group list
+    sorted by size, vid_dup_finder_app gui group view).
+
+    ``assignment`` follows the ``connected_components`` convention (only
+    edged nodes appear).  When ``n_total_docs`` is given — a 1-row DataFrame
+    with a single BIGINT column counting the FULL corpus — the unclustered
+    complement is reported as the ``cluster_size = 1`` bucket, so the
+    histogram's ``sum(cluster_size * n_clusters)`` equals the corpus size
+    and the report needs no side table to interpret.
+
+    Scale shape: two map-side-combinable aggregations (id -> size ->
+    histogram); the distinct-size key space is at most a few thousand even
+    at 10^12 docs, and the singleton complement is a 1-row broadcast cross
+    join, never a driver collect.
+    """
+    sizes = assignment.groupBy(F.col(component_col).alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+    if n_total_docs is None:
+        return hist
+    total_col = n_total_docs.columns[0]
+    clustered = assignment.agg(
+        F.count(F.lit(1)).cast("long").alias("__clustered")
+    )
+    singles = (
+        n_total_docs.crossJoin(F.broadcast(clustered))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col(total_col).cast("long") - F.col("__clustered")).alias("n"),
+        )
+        .where(F.col("n") > 0)
+        .select(
+            "cluster_size",
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+    return hist.unionByName(singles)
+
+
+def clustering_agreement(
+    assign_a: DataFrame,
+    assign_b: DataFrame,
+    id_col: str = "id",
+    component_col: str = "component",
+) -> DataFrame:
+    """Pair-level agreement between two clusterings WITHOUT materializing
+    pairs — the config-drift audit (did moving the threshold / signature
+    config change who gets deduped?), computed from contingency counts so
+    it runs at 10^12 docs where the pair sets themselves (quadratic in
+    cluster size) cannot be built.
+
+    Uses the Rand-index identity: over the union of both node sets (a doc
+    missing from one side is its own singleton there — exactly the
+    ``connected_components`` convention where edge-less docs are implicit
+    singletons),
+
+    * ``pairs_a``    = sum over A-clusters of C(size, 2)
+    * ``pairs_b``    = sum over B-clusters of C(size, 2)
+    * ``pairs_both`` = sum over cells of the A x B contingency of C(n, 2)
+
+    so pair-precision of B against A = ``pairs_both / pairs_b`` and
+    pair-recall = ``pairs_both / pairs_a``, emitted as integer ppm via
+    decimal(38,0) floor division (the corpus_mix_report discipline: the
+    raw C(size,2) sums are kept in decimal(38,0) because a single 10^7-doc
+    cluster already overflows int64 pairs).
+
+    Returns ONE row: ``(n_docs, pairs_a, pairs_b, pairs_both,
+    precision_ppm, recall_ppm)`` with the pair sums as decimal(38,0).
+
+    Scale shape: one full-outer join on doc id (co-partitioned) + three
+    map-side-combinable aggregations; no window, no collect, no pair
+    explosion.
+    """
+    a = assign_a.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(component_col).cast("long").alias("ca"),
+    )
+    b = assign_b.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(component_col).cast("long").alias("cb"),
+    )
+    # full outer: a doc clustered on one side only is a singleton on the
+    # other — encode that singleton as the doc's own (negative-keyed) cell
+    # so it contributes 0 to every C(n,2) without inventing label clashes.
+    j = a.join(b, "id", "full_outer").select(
+        "id",
+        F.coalesce(F.col("ca"), -F.col("id") - 1).alias("ca"),
+        F.coalesce(F.col("cb"), -F.col("id") - 1).alias("cb"),
+    )
+    j = j.localCheckpoint(eager=True)
+
+    def _pair_sum(df: DataFrame, keys: list[str], out: str) -> DataFrame:
+        per = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        return per.agg(
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("n").cast("decimal(38,0)")
+                        * (F.col("n") - F.lit(1)).cast("decimal(38,0)")
+                        / F.lit(2)
+                    ).cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias(out)
+        )
+
+    n_docs = j.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    pa = _pair_sum(j, ["ca"], "pairs_a")
+    pb = _pair_sum(j, ["cb"], "pairs_b")
+    pboth = _pair_sum(j, ["ca", "cb"], "pairs_both")
+    one = F.lit(1).cast("decimal(38,0)")
+    return (
+        n_docs.crossJoin(F.broadcast(pa))
+        .crossJoin(F.broadcast(pb))
+        .crossJoin(F.broadcast(pboth))
+        .select(
+            "n_docs",
+            F.col("pairs_a").cast("decimal(38,0)").alias("pairs_a"),
+            F.col("pairs_b").cast("decimal(38,0)").alias("pairs_b"),
+            F.col("pairs_both").cast("decimal(38,0)").alias("pairs_both"),
+            F.floor(
+                F.col("pairs_both") * F.lit(1_000_000)
+                / F.greatest(F.col("pairs_b"), one)
+            )
+            .cast("long")
+            .alias("precision_ppm"),
+            F.floor(
+                F.col("pairs_both") * F.lit(1_000_000)
+                / F.greatest(F.col("pairs_a"), one)
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
