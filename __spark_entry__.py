@@ -2298,6 +2298,27 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(base.unionByName(copies))
 
 
+def q_hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL sketch (operators/sketch.py): per-language distinct
+    3-shingle estimate over the base corpus — the corpus-profiling number
+    (vocabulary growth, dedup-rate forecasting) that an exact
+    count(DISTINCT) cannot produce at 10^12 docs.  Register state, zero
+    counts, and the integer-exact estimate all hash-match the DuckDB twin
+    because every step is md5-prefix + integer arithmetic (no floats, no
+    engine-internal hashes)."""
+    from vid_dup_finder_lib_spark.functions.text import shingles_col
+    from vid_dup_finder_lib_spark.operators.sketch import hll_distinct
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        F.col("lang"),
+        F.explode(
+            shingles_col(tokens_col(normalize_text(F.col("text"))), 3)
+        ).alias("shg"),
+    )
+    return hll_distinct(sh, ["lang"], F.col("shg"), p=12)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2325,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_delete_cc": q_incremental_delete_cc,
         "threshold_sweep_cc": q_threshold_sweep_cc,
         "minhash_estimate_pairs": q_minhash_estimate_pairs,
+        "hll_distinct_shingles": q_hll_distinct_shingles,
         "cluster_size_histogram": q_cluster_size_histogram,
         "clustering_agreement": q_clustering_agreement,
         "source_overlap_matrix": q_source_overlap_matrix,
@@ -3660,6 +3682,40 @@ FROM hits
 """,
         # token-weighted mix report over the DETECTED language; hugeint
         # mirrors the engine's decimal(38,0) overflow-safe ppm division
+        # HLL twin: identical md5-prefix bucket/rank split, register maxima,
+        # and integer-exact estimate (HUGEINT // == Spark decimal div)
+        "hll_distinct_shingles": _SQL_PROLOGUE + r"""
+, langd AS (SELECT doc_id::BIGINT AS doc_id, lang FROM documents),
+shg AS (
+  SELECT d.lang,
+         unnest(list_distinct(list_transform(range(1, len(t.toks) - 1),
+           i -> t.toks[i] || ' ' || t.toks[i+1] || ' ' || t.toks[i+2]))) AS shg
+  FROM tok t JOIN langd d USING (doc_id)
+  WHERE len(t.toks) >= 3
+),
+hs AS (
+  SELECT lang,
+         ('0x' || substr(md5(shg), 1, 3))::INT AS bucket,
+         ('0x' || substr(md5(shg), 4, 12))::BIGINT AS w
+  FROM shg WHERE shg IS NOT NULL
+),
+regs AS (
+  SELECT lang, bucket,
+         max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END)::INT AS r
+  FROM hs GROUP BY 1, 2
+),
+rep AS (
+  SELECT lang, count(*)::BIGINT AS seen,
+         sum((1::HUGEINT << (49 - r)))::HUGEINT AS denom_seen,
+         md5(string_agg(bucket::VARCHAR || ':' || r::VARCHAR, ',' ORDER BY bucket)) AS registers_md5
+  FROM regs GROUP BY 1
+)
+SELECT lang, 4096::BIGINT AS m_buckets, (4096 - seen)::BIGINT AS n_zero_buckets,
+       registers_md5,
+       ((721110::HUGEINT * 4096 * 4096 * (1::HUGEINT << 49))
+        // ((denom_seen + (4096 - seen)::HUGEINT * (1::HUGEINT << 49)) * 1000000))::BIGINT AS estimate
+FROM rep
+""",
         # size-1 bucket = derived-corpus docs (2x base) minus clustered docs
         "cluster_size_histogram": prologue_r + sql_cc + r"""
 , sizes AS (SELECT cluster_id, count(*)::BIGINT AS sz FROM cc GROUP BY 1),
