@@ -2319,6 +2319,47 @@ def q_hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(sh, ["lang"], F.col("shg"), p=12)
 
 
+def _derived_varied(docs: DataFrame) -> DataFrame:
+    """base ∪ mutated copies (+100000) with a PER-DOC mutation period
+    10 + doc_id % 7: every p-th token -> 'zz', so the longest surviving
+    common run varies 9..15 across pairs (a constant-period corpus would
+    make every LCS equal — no signal for the lcs query's oracle)."""
+    tok = _tokens(docs)
+    # period must be a REAL column before the doc_id+100000 alias below:
+    # lateral column alias resolution would otherwise bind a bare
+    # F.col("doc_id") inside the lambda to the ALIASED (+100000) output
+    # column, silently changing every copy's period (caught by the oracle)
+    mutated = tok.withColumn("__p", F.lit(10) + (F.col("doc_id") % 7)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.transform(
+            F.col("toks"),
+            lambda x, i: F.when(i % F.col("__p") == 0, F.lit("zz")).otherwise(x),
+        ).alias("toks"),
+    )
+    return tok.unionByName(mutated).select(
+        "doc_id", "toks", F.array_join("toks", " ").alias("text")
+    )
+
+
+def q_pair_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact longest common token run per verified near-dup pair
+    (substring.pair_token_lcs): diagonal-island formulation over positional
+    8-grams — relational end to end, window partitioned by (pair,
+    diagonal).  Pairs come from the exact-Jaccard path over the
+    varied-period derived corpus, so ground truth spans 9..15 tokens at
+    positions that differ per pair."""
+    from vid_dup_finder_lib_spark.operators.substring import pair_token_lcs
+
+    varied = _derived_varied(_docs(spark, sf_dir))
+    sigs = build_signatures(
+        varied.select("doc_id", "text"), ENTRY_CFG, id_col="doc_id", text_col="text"
+    ).localCheckpoint(eager=True)
+    pairs = ngram_jaccard_pairs(sigs, JACCARD_NUM, JACCARD_DEN)
+    return pair_token_lcs(
+        pairs, varied.select("doc_id", "toks"), k=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2346,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_delete_cc": q_incremental_delete_cc,
         "threshold_sweep_cc": q_threshold_sweep_cc,
         "minhash_estimate_pairs": q_minhash_estimate_pairs,
+        "pair_lcs": q_pair_lcs,
         "hll_distinct_shingles": q_hll_distinct_shingles,
         "cluster_size_histogram": q_cluster_size_histogram,
         "clustering_agreement": q_clustering_agreement,
@@ -3682,6 +3724,78 @@ FROM hits
 """,
         # token-weighted mix report over the DETECTED language; hugeint
         # mirrors the engine's decimal(38,0) overflow-safe ppm division
+        # LCS twin: identical diagonal-island formulation over positional
+        # 8-grams of the varied-period derived corpus
+        "pair_lcs": r"""
+WITH norm AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN []::VARCHAR[] ELSE string_split(norm, ' ') END AS toks
+  FROM norm
+),
+derived2 AS (
+  SELECT doc_id, toks FROM tok
+  UNION ALL
+  SELECT doc_id + 100000,
+         list_transform(toks, (x, i) -> CASE WHEN (i-1) % (10 + doc_id % 7) = 0 THEN 'zz' ELSE x END)
+  FROM tok
+),
+dsh2 AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE []::VARCHAR[] END AS shingles
+  FROM derived2
+),
+ex2 AS (
+  SELECT doc_id, len(shingles)::BIGINT AS sc, unnest(shingles) AS shg
+  FROM dsh2 WHERE len(shingles) > 0
+),
+jpairs2 AS (
+  SELECT id1, id2 FROM (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, a.sc AS sc1, b.sc AS sc2,
+           count(*)::BIGINT AS inter_count
+    FROM ex2 a JOIN ex2 b ON a.shg = b.shg AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE inter_count * 5 >= (sc1 + sc2 - inter_count) * 2
+),
+grams AS (
+  SELECT d.doc_id, u.i - 1 AS pos,
+         array_to_string(list_slice(d.toks, u.i, u.i + 7), ' ') AS gram
+  FROM derived2 d, unnest(range(1, len(d.toks) - 6)) AS u(i)
+  WHERE len(d.toks) >= 8
+),
+m AS (
+  SELECT p.id1, p.id2, a.pos AS i, b.pos AS j
+  FROM jpairs2 p
+  JOIN grams a ON a.doc_id = p.id1
+  JOIN grams b ON b.doc_id = p.id2 AND b.gram = a.gram
+),
+r AS (
+  SELECT id1, id2, i, j,
+         i - row_number() OVER (PARTITION BY id1, id2, i - j ORDER BY i) AS isl
+  FROM m
+),
+runs AS (
+  SELECT id1, id2, (count(*) + 7)::BIGINT AS run_len,
+         min(i)::BIGINT AS s1, min(j)::BIGINT AS s2
+  FROM r GROUP BY id1, id2, i - j, isl
+),
+best AS (
+  SELECT id1, id2, min(struct_pack(a := -run_len, b := s1, c := s2)) AS st
+  FROM runs GROUP BY 1, 2
+)
+SELECT p.id1, p.id2,
+       coalesce(-struct_extract(b.st, 'a'), 0)::BIGINT AS lcs_tokens,
+       struct_extract(b.st, 'b')::BIGINT AS start1,
+       struct_extract(b.st, 'c')::BIGINT AS start2
+FROM jpairs2 p LEFT JOIN best b USING (id1, id2)
+""",
         # HLL twin: identical md5-prefix bucket/rank split, register maxima,
         # and integer-exact estimate (HUGEINT // == Spark decimal div)
         "hll_distinct_shingles": _SQL_PROLOGUE + r"""

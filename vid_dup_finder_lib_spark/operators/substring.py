@@ -181,3 +181,123 @@ def substring_pairs(
         .where(F.col("shared_windows") >= min_shared_windows)
     )
     return pairs
+
+
+def pair_token_lcs(
+    pairs: DataFrame,
+    tokens: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    id1: str = "id1",
+    id2: str = "id2",
+    max_gram_repeat: int = 1_000,
+) -> DataFrame:
+    """Exact longest common token RUN per candidate pair — the "how long is
+    the shared passage, and where" number behind the substring family's
+    booleans (window_hashes says pairs SHARE an L-run; this measures the
+    longest one — the reference GUI's side-by-side matched-region view,
+    quantified).
+
+    No suffix structure: LCS-of-substring over token sequences is
+    equivalently the longest DIAGONAL ISLAND in the positional k-gram match
+    matrix — every common run of length R >= k appears as exactly R-k+1
+    consecutive (i, j) matches with constant i-j, so
+
+        lcs_tokens = max island length + k - 1.
+
+    That makes it a composition of existing relational ops: positional
+    k-gram explode, equi-join on the gram (the skew shape of every other
+    shingle join here), and a gaps-and-islands window per (pair, diagonal)
+    — all JVM-side, no Python, and expressible 1:1 in ANSI SQL for the
+    oracle gate.  Runs SHORTER than k are invisible by design: output 0 /
+    null starts for such pairs (the substring-dedup question is "is there a
+    LONG shared passage"; k is the noise floor, documented contract).
+
+    Tie-break: among maximal runs, the smallest ``start1``, then the
+    smallest ``start2`` (0-based token offsets).
+
+    Valve: a k-gram repeated more than ``max_gram_repeat`` times INSIDE one
+    doc (degenerate boilerplate: the same 8 tokens thousands of times)
+    would make the match join quadratic in that count; it RAISES with the
+    measured maximum rather than running silently (range_join's fail-fast
+    discipline).  Cross-doc frequency is irrelevant — the join is
+    restricted to verified pairs, not all docs.
+
+    Scale shape: gram tables are built only for docs present in ``pairs``
+    (semi-join pruned), the match join shuffles on (doc id, gram), and the
+    island window is partitioned by (pair, diagonal) — never unpartitioned.
+    Output: ``(id1, id2, lcs_tokens, start1, start2)``, one row per input
+    pair (0 / null when no common run reaches k).
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    toks = F.col(toks_col)
+    n = F.size(toks)
+    gram_arr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    docs_in = (
+        pairs.select(F.col(id1).alias("__id"))
+        .unionByName(pairs.select(F.col(id2).alias("__id")))
+        .distinct()
+    )
+    grams = (
+        tokens.join(docs_in, tokens[id_col] == docs_in["__id"], "left_semi")
+        .select(F.col(id_col).alias("__gid"), F.posexplode(gram_arr).alias("pos", "gram"))
+    ).localCheckpoint(eager=True)
+
+    worst = grams.groupBy("__gid", "gram").count().agg(F.max("count")).collect()[0][0]
+    if worst is not None and worst > max_gram_repeat:
+        raise ValueError(
+            f"pair_token_lcs: a {k}-gram repeats {worst}x inside one doc "
+            f"(cap {max_gram_repeat}) — the match join would be quadratic in "
+            "that count; raise max_gram_repeat explicitly or pre-strip the "
+            "boilerplate"
+        )
+
+    p = pairs.select(id1, id2)
+    m = (
+        p.join(grams.select(F.col("__gid"), F.col("pos").alias("i"), "gram"),
+               F.col(id1) == F.col("__gid"))
+        .drop("__gid")
+        .join(
+            grams.select(F.col("__gid"), F.col("pos").alias("j"),
+                         F.col("gram").alias("__g2")),
+            (F.col(id2) == F.col("__gid")) & (F.col("gram") == F.col("__g2")),
+        )
+        .select(id1, id2, "i", "j")
+    )
+    w = Window.partitionBy(id1, id2, F.col("i") - F.col("j")).orderBy("i")
+    runs = (
+        m.withColumn("__isl", F.col("i") - F.row_number().over(w))
+        .groupBy(id1, id2, (F.col("i") - F.col("j")).alias("__d"), "__isl")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("run_len"),
+            F.min("i").cast("long").alias("s1"),
+            F.min("j").cast("long").alias("s2"),
+        )
+    )
+    best = runs.groupBy(id1, id2).agg(
+        F.min(F.struct((-F.col("run_len")).alias("a"),
+                       F.col("s1").alias("b"),
+                       F.col("s2").alias("c"))).alias("st")
+    )
+    return (
+        p.join(best, [id1, id2], "left")
+        .select(
+            id1,
+            id2,
+            F.coalesce(-F.col("st.a"), F.lit(0).cast("long")).alias("lcs_tokens"),
+            F.col("st.b").alias("start1"),
+            F.col("st.c").alias("start2"),
+        )
+    )
