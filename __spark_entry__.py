@@ -2341,6 +2341,19 @@ def _derived_varied(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document fuzzy dedup (dedup.paragraph_neardup_pairs): exact
+    shingle-Jaccard pairs between 40-token paragraphs of different docs
+    over the derived near-dup corpus — the lightly-edited-passage-reuse
+    detector (paragraph_dedup_rewrite's verbatim rule, fuzzed)."""
+    from vid_dup_finder_lib_spark.operators.dedup import paragraph_neardup_pairs
+
+    d = _derived_neardup(_docs(spark, sf_dir))
+    return paragraph_neardup_pairs(
+        d, JACCARD_NUM, JACCARD_DEN, para_tokens=40
+    )
+
+
 def q_pair_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact longest common token run per verified near-dup pair
     (substring.pair_token_lcs): diagonal-island formulation over positional
@@ -2387,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_delete_cc": q_incremental_delete_cc,
         "threshold_sweep_cc": q_threshold_sweep_cc,
         "minhash_estimate_pairs": q_minhash_estimate_pairs,
+        "paragraph_neardup": q_paragraph_neardup,
         "pair_lcs": q_pair_lcs,
         "hll_distinct_shingles": q_hll_distinct_shingles,
         "cluster_size_histogram": q_cluster_size_histogram,
@@ -3724,6 +3738,38 @@ FROM hits
 """,
         # token-weighted mix report over the DETECTED language; hugeint
         # mirrors the engine's decimal(38,0) overflow-safe ppm division
+        # paragraph near-dup twin: same 40-token re-lining + 3-shingle
+        # Jaccard over the derived corpus, raw-string shingle join
+        "paragraph_neardup": _SQL_PROLOGUE + r"""
+, paras AS (
+  SELECT doc_id, u.i - 1 AS para_idx,
+         list_slice(toks, (u.i - 1) * 40 + 1, least(u.i * 40, len(toks))) AS ptoks
+  FROM derived, unnest(range(1, ((len(toks) + 39) // 40) + 1)) AS u(i)
+  WHERE len(toks) > 0
+),
+psh AS (
+  SELECT doc_id, para_idx,
+         CASE WHEN len(ptoks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(ptoks) - 1),
+             i -> ptoks[i] || ' ' || ptoks[i+1] || ' ' || ptoks[i+2]))
+         ELSE []::VARCHAR[] END AS shingles
+  FROM paras
+),
+pex AS (
+  SELECT doc_id, para_idx, len(shingles)::BIGINT AS sc, unnest(shingles) AS shg
+  FROM psh WHERE len(shingles) > 0
+),
+praw AS (
+  SELECT a.doc_id AS id1, a.para_idx AS para1, b.doc_id AS id2, b.para_idx AS para2,
+         a.sc AS sc1, b.sc AS sc2, count(*)::BIGINT AS inter_count
+  FROM pex a JOIN pex b ON a.shg = b.shg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT id1, para1::BIGINT AS para1, id2, para2::BIGINT AS para2, inter_count,
+       (sc1 + sc2 - inter_count)::BIGINT AS union_count
+FROM praw
+WHERE inter_count * 5 >= (sc1 + sc2 - inter_count) * 2
+""",
         # LCS twin: identical diagonal-island formulation over positional
         # 8-grams of the varied-period derived corpus
         "pair_lcs": r"""
