@@ -146,6 +146,12 @@ def main() -> None:
         "incremental_delete_cc",
         "threshold_sweep_cc",
         "minhash_estimate_pairs",
+        "hll_distinct_shingles",
+        "pair_lcs",
+        "paragraph_neardup",
+        "source_overlap_matrix",
+        "clustering_agreement",
+        "cluster_size_histogram",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}
