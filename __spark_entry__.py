@@ -182,6 +182,70 @@ jpairs AS (
 )
 """
 
+# shared oracle prefix for the pair-substring family: varied-period derived
+# corpus -> exact-Jaccard pairs -> maximal diagonal-island runs (>= 8 tokens)
+_LCS_RUNS_PREFIX = r"""
+WITH norm AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN []::VARCHAR[] ELSE string_split(norm, ' ') END AS toks
+  FROM norm
+),
+derived2 AS (
+  SELECT doc_id, toks FROM tok
+  UNION ALL
+  SELECT doc_id + 100000,
+         list_transform(toks, (x, i) -> CASE WHEN (i-1) % (10 + doc_id % 7) = 0 THEN 'zz' ELSE x END)
+  FROM tok
+),
+dsh2 AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE []::VARCHAR[] END AS shingles
+  FROM derived2
+),
+ex2 AS (
+  SELECT doc_id, len(shingles)::BIGINT AS sc, unnest(shingles) AS shg
+  FROM dsh2 WHERE len(shingles) > 0
+),
+jpairs2 AS (
+  SELECT id1, id2 FROM (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, a.sc AS sc1, b.sc AS sc2,
+           count(*)::BIGINT AS inter_count
+    FROM ex2 a JOIN ex2 b ON a.shg = b.shg AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE inter_count * 5 >= (sc1 + sc2 - inter_count) * 2
+),
+grams AS (
+  SELECT d.doc_id, u.i - 1 AS pos,
+         array_to_string(list_slice(d.toks, u.i, u.i + 7), ' ') AS gram
+  FROM derived2 d, unnest(range(1, len(d.toks) - 6)) AS u(i)
+  WHERE len(d.toks) >= 8
+),
+m AS (
+  SELECT p.id1, p.id2, a.pos AS i, b.pos AS j
+  FROM jpairs2 p
+  JOIN grams a ON a.doc_id = p.id1
+  JOIN grams b ON b.doc_id = p.id2 AND b.gram = a.gram
+),
+r AS (
+  SELECT id1, id2, i, j,
+         i - row_number() OVER (PARTITION BY id1, id2, i - j ORDER BY i) AS isl
+  FROM m
+),
+runs AS (
+  SELECT id1, id2, (count(*) + 7)::BIGINT AS run_len,
+         min(i)::BIGINT AS s1, min(j)::BIGINT AS s2
+  FROM r GROUP BY id1, id2, i - j, isl
+)
+"""
+
 
 # ---------------------------------------------------------------------------
 # queries
@@ -2354,6 +2418,17 @@ def q_paragraph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _varied_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared by the pair-substring queries: exact-Jaccard pairs over the
+    varied-period corpus + its token table."""
+    varied = _derived_varied(_docs(spark, sf_dir))
+    sigs = build_signatures(
+        varied.select("doc_id", "text"), ENTRY_CFG, id_col="doc_id", text_col="text"
+    ).localCheckpoint(eager=True)
+    pairs = ngram_jaccard_pairs(sigs, JACCARD_NUM, JACCARD_DEN)
+    return pairs, varied.select("doc_id", "toks")
+
+
 def q_pair_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact longest common token run per verified near-dup pair
     (substring.pair_token_lcs): diagonal-island formulation over positional
@@ -2363,14 +2438,20 @@ def q_pair_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions that differ per pair."""
     from vid_dup_finder_lib_spark.operators.substring import pair_token_lcs
 
-    varied = _derived_varied(_docs(spark, sf_dir))
-    sigs = build_signatures(
-        varied.select("doc_id", "text"), ENTRY_CFG, id_col="doc_id", text_col="text"
-    ).localCheckpoint(eager=True)
-    pairs = ngram_jaccard_pairs(sigs, JACCARD_NUM, JACCARD_DEN)
-    return pair_token_lcs(
-        pairs, varied.select("doc_id", "toks"), k=8
-    )
+    pairs, toks = _varied_pairs(spark, sf_dir)
+    return pair_token_lcs(pairs, toks, k=8)
+
+
+def q_pair_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-coverage fraction per pair (substring.pair_verbatim_coverage):
+    the share of each doc covered by the union of >= 8-token shared runs —
+    the number "drop if mostly copied" policies threshold on.  Same maximal
+    runs as pair_lcs, collapsed by interval-union sweep (overlapping runs
+    never double-count)."""
+    from vid_dup_finder_lib_spark.operators.substring import pair_verbatim_coverage
+
+    pairs, toks = _varied_pairs(spark, sf_dir)
+    return pair_verbatim_coverage(pairs, toks, k=8)
 
 
 # ---------------------------------------------------------------------------
@@ -2402,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate_pairs": q_minhash_estimate_pairs,
         "paragraph_neardup": q_paragraph_neardup,
         "pair_lcs": q_pair_lcs,
+        "pair_coverage": q_pair_coverage,
         "hll_distinct_shingles": q_hll_distinct_shingles,
         "cluster_size_histogram": q_cluster_size_histogram,
         "clustering_agreement": q_clustering_agreement,
@@ -3772,67 +3854,8 @@ WHERE inter_count * 5 >= (sc1 + sc2 - inter_count) * 2
 """,
         # LCS twin: identical diagonal-island formulation over positional
         # 8-grams of the varied-period derived corpus
-        "pair_lcs": r"""
-WITH norm AS (
-  SELECT doc_id::BIGINT AS doc_id,
-         lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS norm
-  FROM documents
-),
-tok AS (
-  SELECT doc_id,
-         CASE WHEN norm = '' THEN []::VARCHAR[] ELSE string_split(norm, ' ') END AS toks
-  FROM norm
-),
-derived2 AS (
-  SELECT doc_id, toks FROM tok
-  UNION ALL
-  SELECT doc_id + 100000,
-         list_transform(toks, (x, i) -> CASE WHEN (i-1) % (10 + doc_id % 7) = 0 THEN 'zz' ELSE x END)
-  FROM tok
-),
-dsh2 AS (
-  SELECT doc_id,
-         CASE WHEN len(toks) >= 3 THEN
-           list_distinct(list_transform(range(1, len(toks) - 1),
-             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-         ELSE []::VARCHAR[] END AS shingles
-  FROM derived2
-),
-ex2 AS (
-  SELECT doc_id, len(shingles)::BIGINT AS sc, unnest(shingles) AS shg
-  FROM dsh2 WHERE len(shingles) > 0
-),
-jpairs2 AS (
-  SELECT id1, id2 FROM (
-    SELECT a.doc_id AS id1, b.doc_id AS id2, a.sc AS sc1, b.sc AS sc2,
-           count(*)::BIGINT AS inter_count
-    FROM ex2 a JOIN ex2 b ON a.shg = b.shg AND a.doc_id < b.doc_id
-    GROUP BY 1, 2, 3, 4
-  ) WHERE inter_count * 5 >= (sc1 + sc2 - inter_count) * 2
-),
-grams AS (
-  SELECT d.doc_id, u.i - 1 AS pos,
-         array_to_string(list_slice(d.toks, u.i, u.i + 7), ' ') AS gram
-  FROM derived2 d, unnest(range(1, len(d.toks) - 6)) AS u(i)
-  WHERE len(d.toks) >= 8
-),
-m AS (
-  SELECT p.id1, p.id2, a.pos AS i, b.pos AS j
-  FROM jpairs2 p
-  JOIN grams a ON a.doc_id = p.id1
-  JOIN grams b ON b.doc_id = p.id2 AND b.gram = a.gram
-),
-r AS (
-  SELECT id1, id2, i, j,
-         i - row_number() OVER (PARTITION BY id1, id2, i - j ORDER BY i) AS isl
-  FROM m
-),
-runs AS (
-  SELECT id1, id2, (count(*) + 7)::BIGINT AS run_len,
-         min(i)::BIGINT AS s1, min(j)::BIGINT AS s2
-  FROM r GROUP BY id1, id2, i - j, isl
-),
-best AS (
+        "pair_lcs": _LCS_RUNS_PREFIX + r"""
+, best AS (
   SELECT id1, id2, min(struct_pack(a := -run_len, b := s1, c := s2)) AS st
   FROM runs GROUP BY 1, 2
 )
@@ -3842,6 +3865,51 @@ SELECT p.id1, p.id2,
        struct_extract(b.st, 'c')::BIGINT AS start2
 FROM jpairs2 p LEFT JOIN best b USING (id1, id2)
 """,
+        # coverage twin: interval-union sweep over the SAME maximal runs
+        "pair_coverage": _LCS_RUNS_PREFIX + r"""
+, iv1 AS (SELECT id1, id2, s1 AS s, s1 + run_len - 1 AS e FROM runs),
+sw1 AS (
+  SELECT id1, id2, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id1, id2 ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nw
+  FROM iv1
+),
+g1 AS (SELECT id1, id2, s, e,
+              sum(nw) OVER (PARTITION BY id1, id2 ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       FROM sw1),
+c1 AS (SELECT id1, id2, sum(len)::BIGINT AS covered1
+       FROM (SELECT id1, id2, grp, max(e) - min(s) + 1 AS len FROM g1 GROUP BY 1, 2, 3)
+       GROUP BY 1, 2),
+iv2 AS (SELECT id1, id2, s2 AS s, s2 + run_len - 1 AS e FROM runs),
+sw2 AS (
+  SELECT id1, id2, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id1, id2 ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nw
+  FROM iv2
+),
+g2 AS (SELECT id1, id2, s, e,
+              sum(nw) OVER (PARTITION BY id1, id2 ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       FROM sw2),
+c2 AS (SELECT id1, id2, sum(len)::BIGINT AS covered2
+       FROM (SELECT id1, id2, grp, max(e) - min(s) + 1 AS len FROM g2 GROUP BY 1, 2, 3)
+       GROUP BY 1, 2),
+nt AS (SELECT doc_id, len(toks)::BIGINT AS n FROM derived2)
+SELECT p.id1, p.id2, a.n AS n_tokens1, b.n AS n_tokens2,
+       coalesce(c1.covered1, 0)::BIGINT AS covered1,
+       coalesce(c2.covered2, 0)::BIGINT AS covered2,
+       (coalesce(c1.covered1, 0) * 1000000 // greatest(a.n, 1))::BIGINT AS coverage1_ppm,
+       (coalesce(c2.covered2, 0) * 1000000 // greatest(b.n, 1))::BIGINT AS coverage2_ppm
+FROM jpairs2 p
+JOIN nt a ON a.doc_id = p.id1
+JOIN nt b ON b.doc_id = p.id2
+LEFT JOIN c1 USING (id1, id2)
+LEFT JOIN c2 USING (id1, id2)
+""",
+
         # HLL twin: identical md5-prefix bucket/rank split, register maxima,
         # and integer-exact estimate (HUGEINT // == Spark decimal div)
         "hll_distinct_shingles": _SQL_PROLOGUE + r"""

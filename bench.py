@@ -148,6 +148,7 @@ def main() -> None:
         "minhash_estimate_pairs",
         "hll_distinct_shingles",
         "pair_lcs",
+        "pair_coverage",
         "paragraph_neardup",
         "source_overlap_matrix",
         "clustering_agreement",

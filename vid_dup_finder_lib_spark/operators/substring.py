@@ -183,6 +183,80 @@ def substring_pairs(
     return pairs
 
 
+def _diagonal_runs(
+    pairs: DataFrame,
+    tokens: DataFrame,
+    k: int,
+    id_col: str,
+    toks_col: str,
+    id1: str,
+    id2: str,
+    max_gram_repeat: int,
+    caller: str,
+) -> DataFrame:
+    """Shared core of the pair-substring family: every maximal common token
+    run of length >= k per pair, as ``(id1, id2, run_len, s1, s2)`` —
+    diagonal islands of the positional k-gram match matrix (see
+    pair_token_lcs for the equivalence argument and the valve contract)."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    toks = F.col(toks_col)
+    n = F.size(toks)
+    gram_arr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    docs_in = (
+        pairs.select(F.col(id1).alias("__id"))
+        .unionByName(pairs.select(F.col(id2).alias("__id")))
+        .distinct()
+    )
+    grams = (
+        tokens.join(docs_in, tokens[id_col] == docs_in["__id"], "left_semi")
+        .select(F.col(id_col).alias("__gid"), F.posexplode(gram_arr).alias("pos", "gram"))
+    ).localCheckpoint(eager=True)
+
+    worst = grams.groupBy("__gid", "gram").count().agg(F.max("count")).collect()[0][0]
+    if worst is not None and worst > max_gram_repeat:
+        raise ValueError(
+            f"{caller}: a {k}-gram repeats {worst}x inside one doc "
+            f"(cap {max_gram_repeat}) — the match join would be quadratic in "
+            "that count; raise max_gram_repeat explicitly or pre-strip the "
+            "boilerplate"
+        )
+
+    p = pairs.select(id1, id2)
+    m = (
+        p.join(grams.select(F.col("__gid"), F.col("pos").alias("i"), "gram"),
+               F.col(id1) == F.col("__gid"))
+        .drop("__gid")
+        .join(
+            grams.select(F.col("__gid"), F.col("pos").alias("j"),
+                         F.col("gram").alias("__g2")),
+            (F.col(id2) == F.col("__gid")) & (F.col("gram") == F.col("__g2")),
+        )
+        .select(id1, id2, "i", "j")
+    )
+    w = Window.partitionBy(id1, id2, F.col("i") - F.col("j")).orderBy("i")
+    return (
+        m.withColumn("__isl", F.col("i") - F.row_number().over(w))
+        .groupBy(id1, id2, (F.col("i") - F.col("j")).alias("__d"), "__isl")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("run_len"),
+            F.min("i").cast("long").alias("s1"),
+            F.min("j").cast("long").alias("s2"),
+        )
+        .drop("__d", "__isl")
+    )
+
+
 def pair_token_lcs(
     pairs: DataFrame,
     tokens: DataFrame,
@@ -230,61 +304,10 @@ def pair_token_lcs(
     Output: ``(id1, id2, lcs_tokens, start1, start2)``, one row per input
     pair (0 / null when no common run reaches k).
     """
-    from pyspark.sql import Window
-
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
-
-    toks = F.col(toks_col)
-    n = F.size(toks)
-    gram_arr = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-    docs_in = (
-        pairs.select(F.col(id1).alias("__id"))
-        .unionByName(pairs.select(F.col(id2).alias("__id")))
-        .distinct()
-    )
-    grams = (
-        tokens.join(docs_in, tokens[id_col] == docs_in["__id"], "left_semi")
-        .select(F.col(id_col).alias("__gid"), F.posexplode(gram_arr).alias("pos", "gram"))
-    ).localCheckpoint(eager=True)
-
-    worst = grams.groupBy("__gid", "gram").count().agg(F.max("count")).collect()[0][0]
-    if worst is not None and worst > max_gram_repeat:
-        raise ValueError(
-            f"pair_token_lcs: a {k}-gram repeats {worst}x inside one doc "
-            f"(cap {max_gram_repeat}) — the match join would be quadratic in "
-            "that count; raise max_gram_repeat explicitly or pre-strip the "
-            "boilerplate"
-        )
-
     p = pairs.select(id1, id2)
-    m = (
-        p.join(grams.select(F.col("__gid"), F.col("pos").alias("i"), "gram"),
-               F.col(id1) == F.col("__gid"))
-        .drop("__gid")
-        .join(
-            grams.select(F.col("__gid"), F.col("pos").alias("j"),
-                         F.col("gram").alias("__g2")),
-            (F.col(id2) == F.col("__gid")) & (F.col("gram") == F.col("__g2")),
-        )
-        .select(id1, id2, "i", "j")
-    )
-    w = Window.partitionBy(id1, id2, F.col("i") - F.col("j")).orderBy("i")
-    runs = (
-        m.withColumn("__isl", F.col("i") - F.row_number().over(w))
-        .groupBy(id1, id2, (F.col("i") - F.col("j")).alias("__d"), "__isl")
-        .agg(
-            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("run_len"),
-            F.min("i").cast("long").alias("s1"),
-            F.min("j").cast("long").alias("s2"),
-        )
+    runs = _diagonal_runs(
+        pairs, tokens, k, id_col, toks_col, id1, id2, max_gram_repeat,
+        caller="pair_token_lcs",
     )
     best = runs.groupBy(id1, id2).agg(
         F.min(F.struct((-F.col("run_len")).alias("a"),
@@ -299,5 +322,98 @@ def pair_token_lcs(
             F.coalesce(-F.col("st.a"), F.lit(0).cast("long")).alias("lcs_tokens"),
             F.col("st.b").alias("start1"),
             F.col("st.c").alias("start2"),
+        )
+    )
+
+
+def _interval_union_len(
+    runs: DataFrame, id1: str, id2: str, start_col: str, out: str
+) -> DataFrame:
+    """Per pair: total token count covered by the UNION of the run
+    intervals [start, start + run_len - 1] — overlapping runs (the same
+    passage matched on several diagonals) must not double-count, hence the
+    classic sort + sweep (gaps-and-islands over running max end), windowed
+    per pair, never unpartitioned."""
+    from pyspark.sql import Window
+
+    iv = runs.select(
+        id1, id2,
+        F.col(start_col).alias("s"),
+        (F.col(start_col) + F.col("run_len") - 1).alias("e"),
+    )
+    w = Window.partitionBy(id1, id2).orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grp = F.sum(
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    per = (
+        iv.withColumn("__grp", grp)
+        .groupBy(id1, id2, "__grp")
+        .agg((F.max("e") - F.min("s") + 1).alias("len"))
+    )
+    return per.groupBy(id1, id2).agg(F.sum("len").cast("long").alias(out))
+
+
+def pair_verbatim_coverage(
+    pairs: DataFrame,
+    tokens: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    id1: str = "id1",
+    id2: str = "id2",
+    max_gram_repeat: int = 1_000,
+) -> DataFrame:
+    """Per candidate pair: what FRACTION of each document is verbatim-shared
+    (in runs of >= k tokens) with the other — the number dedup policies
+    actually threshold on ("drop if more than half the doc is copied"),
+    where pair_token_lcs answers only "how long is the longest passage".
+
+    Same diagonal-island core (exact, relational, valve-raising); the runs
+    then collapse into per-document covered-token counts via interval-union
+    sweep (overlaps between runs never double-count).  Output one row per
+    input pair: ``(id1, id2, n_tokens1, n_tokens2, covered1, covered2,
+    coverage1_ppm, coverage2_ppm)`` — integer ppm via exact long division.
+
+    Scale shape: everything from pair_token_lcs plus two windows
+    partitioned by (pair) over run rows only (runs per pair are few — they
+    are maximal islands, not matches).
+    """
+    runs = _diagonal_runs(
+        pairs, tokens, k, id_col, toks_col, id1, id2, max_gram_repeat,
+        caller="pair_verbatim_coverage",
+    )
+    c1 = _interval_union_len(runs, id1, id2, "s1", "covered1")
+    c2 = _interval_union_len(runs, id1, id2, "s2", "covered2")
+    nt = tokens.select(
+        F.col(id_col).alias("__nid"), F.size(F.col(toks_col)).cast("long").alias("__n")
+    )
+    p = (
+        pairs.select(id1, id2)
+        .join(nt.withColumnRenamed("__n", "n_tokens1"), F.col(id1) == F.col("__nid"))
+        .drop("__nid")
+        .join(nt.withColumnRenamed("__n", "n_tokens2"), F.col(id2) == F.col("__nid"))
+        .drop("__nid")
+    )
+    return (
+        p.join(c1, [id1, id2], "left")
+        .join(c2, [id1, id2], "left")
+        .select(
+            id1,
+            id2,
+            "n_tokens1",
+            "n_tokens2",
+            F.coalesce("covered1", F.lit(0)).cast("long").alias("covered1"),
+            F.coalesce("covered2", F.lit(0)).cast("long").alias("covered2"),
+        )
+        .selectExpr(
+            id1,
+            id2,
+            "n_tokens1",
+            "n_tokens2",
+            "covered1",
+            "covered2",
+            "cast((covered1 * 1000000) div greatest(n_tokens1, 1) as long) as coverage1_ppm",
+            "cast((covered2 * 1000000) div greatest(n_tokens2, 1) as long) as coverage2_ppm",
         )
     )
