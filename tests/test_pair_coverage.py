@@ -82,3 +82,71 @@ def test_coverage_bounded_by_doc(spark):
     assert r["covered1"] == 29  # all but the edit point's token itself
     assert r["covered1"] <= r["n_tokens1"]
     assert 0 <= r["coverage1_ppm"] <= 1_000_000
+
+
+def test_naive_parity_randomized(spark):
+    # engine coverage must equal a serial brute-force twin (enumerate all
+    # k-gram matches, build diagonal islands, union the intervals)
+    import random
+
+    rng = random.Random(11)
+    alphabet = [f"t{i}" for i in range(10)]
+    K = 8
+
+    def naive_cov(a, b):
+        matches = [
+            (i, j)
+            for i in range(len(a) - K + 1)
+            for j in range(len(b) - K + 1)
+            if a[i : i + K] == b[j : j + K]
+        ]
+        runs = {}
+        for i, j in sorted(matches):
+            d = i - j
+            # island start: extend from the previous match on this diagonal
+            if (d, i - 1) in runs:
+                runs[(d, i)] = runs.pop((d, i - 1))
+            else:
+                runs[(d, i)] = (i, j)
+        iv1, iv2 = [], []
+        for (d, last_i), (si, sj) in runs.items():
+            ln = last_i - si + K
+            iv1.append((si, si + ln - 1))
+            iv2.append((sj, sj + ln - 1))
+
+        def union_len(ivs):
+            total, cur = 0, None
+            for s, e in sorted(ivs):
+                if cur is None or s > cur[1]:
+                    if cur:
+                        total += cur[1] - cur[0] + 1
+                    cur = [s, e]
+                else:
+                    cur[1] = max(cur[1], e)
+            if cur:
+                total += cur[1] - cur[0] + 1
+            return total
+
+        return union_len(iv1), union_len(iv2)
+
+    docs, pairs, expect = [], [], {}
+    for n in range(6):
+        a = [rng.choice(alphabet) for _ in range(50)]
+        b = list(a)
+        for pos in sorted(rng.sample(range(50), rng.randint(1, 5))):
+            b[pos] = "zz"
+        # occasionally duplicate a slice inside b (multi-diagonal overlap)
+        if n % 2 == 0:
+            b = b[:20] + a[5:15] + b[20:]
+        docs.append((2 * n, a))
+        docs.append((2 * n + 1, b))
+        pairs.append((2 * n, 2 * n + 1))
+        expect[(2 * n, 2 * n + 1)] = naive_cov(a, b)
+
+    got = {
+        (r["id1"], r["id2"]): (r["covered1"], r["covered2"])
+        for r in pair_verbatim_coverage(
+            _pairs(spark, pairs), _toks(spark, docs), k=K
+        ).collect()
+    }
+    assert got == expect
