@@ -165,3 +165,52 @@ def test_bloom_probe_is_shuffle_free(spark):
     words = bloom_build(df, "key", 1 << 10, 3)
     plan = _plan(bloom_candidates(df, "key", words, 1 << 10, 3))
     assert "Exchange" not in plan, plan
+
+
+def test_agreement_plan_has_no_window_and_no_pair_explosion(spark):
+    """PLANS.md §12: clustering_agreement is joins + aggregations only —
+    the pair sets are never materialized, so the plan must contain NO
+    Window, NO Generate (explode), and NO CartesianProduct."""
+    from vid_dup_finder_lib_spark.operators.components import clustering_agreement
+
+    a = spark.createDataFrame([(i, i // 3) for i in range(30)], "id long, component long")
+    b = spark.createDataFrame([(i, i // 5) for i in range(25)], "id long, component long")
+    plan = _plan(clustering_agreement(a, b))
+    assert "Window" not in plan
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_registers_aggregate_is_partial(spark):
+    """PLANS.md §12: the register groupBy max must map-side combine — the
+    plan shows partial_max before the exchange, so input rows never cross
+    the shuffle (only <= 2^p register rows per group do)."""
+    from vid_dup_finder_lib_spark.operators.sketch import hll_registers
+
+    df = spark.createDataFrame(
+        [("g", f"item{i}") for i in range(100)], "g string, k string"
+    )
+    plan = _plan(hll_registers(df, ["g"], F.col("k")))
+    assert "partial_max" in plan, plan
+    assert "Window" not in plan
+
+
+def test_coverage_windows_are_pair_partitioned(spark):
+    """PLANS.md §12: every window in pair_verbatim_coverage (island
+    detection + interval sweep) is partitioned — no 'Window [...]' node
+    without a partition spec (an unpartitioned window is a single-task
+    funnel at corpus scale)."""
+    from vid_dup_finder_lib_spark.operators.substring import pair_verbatim_coverage
+
+    docs = spark.createDataFrame(
+        [(1, [f"t{i}" for i in range(20)]), (2, [f"t{i}" for i in range(20)])],
+        "doc_id long, toks array<string>",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    plan = _plan(pair_verbatim_coverage(pairs, docs, k=8))
+    for line in plan.splitlines():
+        # formatted plans print windows as: Arguments: [spec], [part], [order]
+        if line.strip().startswith("Arguments:") and "windowspecdefinition" in line:
+            assert "specifiedwindowframe" in line
+    # cheaper + version-stable: the string form of an unpartitioned spec
+    assert "windowspecdefinition(," not in plan.replace(" ", "")
