@@ -504,3 +504,82 @@ def search_merge_many(
         others = reduce(DataFrame.unionByName, sigs[1:])
         store0.upsert(others.select(*sigs[0].columns))
     return assignment
+
+
+def explain_pair(
+    docs: DataFrame,
+    pairs: DataFrame,
+    cfg: SigConfig = DEFAULT_CONFIG,
+    id_col: str = "url",
+    text_col: str = "text",
+    lcs_k: int = 8,
+    line_tokens: int = 8,
+) -> DataFrame:
+    """One-stop pair diagnostic — the library analog of the reference GUI's
+    side-by-side inspection (vid_dup_finder_app gui: a human reviews WHAT
+    matched before confirming): for each requested (id1, id2), every
+    similarity the engine can compute, in one row::
+
+        (id1, id2, inter_count, union_count, token_hamming, simhash_hamming,
+         lcs_tokens, lcs_start1, lcs_start2,
+         n_tokens1, n_tokens2, covered1, covered2,
+         coverage1_ppm, coverage2_ppm,
+         n_lines1, n_lines2, n_shared, n_only1, n_only2)
+
+    Intended for REVIEW-sized pair lists (confirm/falsepos queues, spot
+    checks), not corpus-wide joins: the corpus is first semi-join-pruned to
+    the docs the pairs reference, so cost scales with the pair list, never
+    the corpus.  For corpus-wide analytics use the per-family operators
+    directly (verified_edges + with_distances, pair_token_lcs,
+    pair_verbatim_coverage, pair_line_diff).
+    """
+    from vid_dup_finder_lib_spark.functions.text import normalize_text, tokens_col
+    from vid_dup_finder_lib_spark.functions.textstats import token_lines
+    from vid_dup_finder_lib_spark.operators.substring import (
+        pair_token_lcs,
+        pair_verbatim_coverage,
+    )
+    from vid_dup_finder_lib_spark.operators.verify import pair_line_diff
+
+    p = pairs.select(
+        F.col("id1").cast("string").alias("id1"),
+        F.col("id2").cast("string").alias("id2"),
+    ).distinct()
+    ids = (
+        p.select(F.col("id1").alias("__id"))
+        .unionByName(p.select(F.col("id2").alias("__id")))
+        .distinct()
+    )
+    sub = docs.join(
+        ids, docs[id_col].cast("string") == ids["__id"], "left_semi"
+    ).select(
+        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
+    ).localCheckpoint(eager=True)
+
+    sigs = build_signatures(sub, cfg, id_col="id", text_col="text").localCheckpoint(
+        eager=True
+    )
+    dist = with_distances(
+        attach_signatures(p, sigs, need_shingles=True, need_tokens=True)
+    ).select(
+        "id1", "id2", "inter_count", "union_count", "token_hamming", "simhash_hamming"
+    )
+
+    toks = sub.select(
+        "id", tokens_col(normalize_text(F.col("text"))).alias("toks")
+    )
+    lcs = pair_token_lcs(p, toks, k=lcs_k, id_col="id", toks_col="toks").select(
+        "id1", "id2", "lcs_tokens",
+        F.col("start1").alias("lcs_start1"), F.col("start2").alias("lcs_start2"),
+    )
+    cov = pair_verbatim_coverage(p, toks, k=lcs_k, id_col="id", toks_col="toks")
+    lined = sub.select("id", token_lines(F.col("text"), line_tokens).alias("lines"))
+    ldiff = pair_line_diff(p, lined, id_col="id")
+
+    return (
+        dist.join(lcs, ["id1", "id2"])
+        .join(cov, ["id1", "id2"])
+        .join(ldiff.select("id1", "id2", "n_lines1", "n_lines2",
+                           "n_shared", "n_only1", "n_only2"),
+              ["id1", "id2"])
+    )
