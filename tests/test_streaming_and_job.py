@@ -386,3 +386,133 @@ def test_job_cli_decontam_stage(spark, tmp_path):
     kept = spark.read.parquet(str(tmp_path / "ckpt" / "docs_decontam" / "data"))
     assert kept.count() == 5
     assert kept.where(F.col("url") == "leak://d1").count() == 0
+
+
+def test_job_cli_extract_html_creates_text(spark, tmp_path):
+    """--extract-html: a corpus WITHOUT a text column (the raw crawl shape:
+    url, warc_ts, html) gets its text built by the frozen extractor as a
+    checkpointed first stage; grouping matches the text-based run."""
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=91)
+    cb.make_clusters(
+        num_clusters=2, first_size=4, size_step=1, intra_d=20, inter_d=200, doclen=300
+    )
+    docs = cb.to_spark(spark, partitions=2)
+    raw_path = str(tmp_path / "raw")
+    docs.drop("text").write.parquet(raw_path)
+    out_path = str(tmp_path / "groups")
+    rc = job.main(
+        [
+            "--docs", raw_path,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--tolerance", "0.100",
+            "--extract-html",
+            "--output", out_path,
+        ]
+    )
+    assert rc == 0
+    groups = spark.read.parquet(out_path)
+    sizes = sorted(r["count"] for r in groups.groupBy("cluster_id").count().collect())
+    assert sizes == [4, 5]
+    # the extracted stage is durable and carries no binary column
+    ext = spark.read.parquet(str(tmp_path / "ckpt" / "docs_extracted" / "data"))
+    assert "text" in ext.columns and "html" not in ext.columns
+
+
+def test_job_cli_extract_html_validates_invariant(spark, tmp_path):
+    """--extract-html with an EXISTING text column validates the per-row
+    invariant text == extract(html) and refuses on mismatch."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=92)
+    cb.make_clusters(
+        num_clusters=1, first_size=4, size_step=0, intra_d=20, inter_d=200, doclen=200
+    )
+    docs = cb.to_spark(spark, partitions=2)
+    # tamper ONE row's text so it no longer matches its html
+    tampered = docs.withColumn(
+        "text",
+        F.when(F.col("url") == docs.select("url").orderBy("url").limit(1)
+               .collect()[0][0], F.lit("stale text from another pipeline"))
+        .otherwise(F.col("text")),
+    )
+    bad_path = str(tmp_path / "bad")
+    tampered.write.parquet(bad_path)
+    with pytest.raises(ValueError, match="1 rows violate"):
+        job.main(
+            [
+                "--docs", bad_path,
+                "--checkpoint", str(tmp_path / "ckpt_bad"),
+                "--tolerance", "0.100",
+                "--extract-html",
+            ]
+        )
+    # untampered docs pass validation and run to completion
+    good_path = str(tmp_path / "good")
+    docs.write.parquet(good_path)
+    rc = job.main(
+        [
+            "--docs", good_path,
+            "--checkpoint", str(tmp_path / "ckpt_good"),
+            "--tolerance", "0.100",
+            "--extract-html",
+            "--output", str(tmp_path / "out_good"),
+        ]
+    )
+    assert rc == 0
+
+
+def test_job_cli_extract_html_incremental_batch(spark, tmp_path):
+    """--incremental-add with --extract-html: a batch shipped as raw html
+    (no text column) is extracted with the same frozen rule before the
+    fold; the result equals a full job over the union corpus."""
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=93)
+    cb.make_clusters(
+        num_clusters=2, first_size=3, size_step=1, intra_d=20, inter_d=200, doclen=250
+    )
+    all_docs = cb.to_spark(spark, partitions=2).localCheckpoint()
+    urls = sorted(r["url"] for r in all_docs.select("url").collect())
+    batch_urls = set(urls[:2])
+    base = all_docs.where(~all_docs.url.isin(*batch_urls))
+    batch = all_docs.where(all_docs.url.isin(*batch_urls))
+
+    base_path = str(tmp_path / "base")
+    base.drop("text").write.parquet(base_path)
+    batch_path = str(tmp_path / "batch")
+    batch.drop("text").write.parquet(batch_path)
+    union_path = str(tmp_path / "union")
+    all_docs.drop("text").write.parquet(union_path)
+
+    ck = str(tmp_path / "ckpt")
+    rc = job.main(
+        ["--docs", base_path, "--checkpoint", ck, "--tolerance", "0.100",
+         "--extract-html", "--output", str(tmp_path / "g0")]
+    )
+    assert rc == 0
+    rc = job.main(
+        ["--checkpoint", ck, "--tolerance", "0.100", "--extract-html",
+         "--incremental-add", batch_path, "--output", str(tmp_path / "g1")]
+    )
+    assert rc == 0
+
+    rc = job.main(
+        ["--docs", union_path, "--checkpoint", str(tmp_path / "ckpt_full"),
+         "--tolerance", "0.100", "--extract-html",
+         "--output", str(tmp_path / "g_full")]
+    )
+    assert rc == 0
+    inc = {
+        (r["id"], r["cluster_id"])
+        for r in spark.read.parquet(str(tmp_path / "g1")).collect()
+    }
+    full = {
+        (r["id"], r["cluster_id"])
+        for r in spark.read.parquet(str(tmp_path / "g_full")).collect()
+    }
+    assert inc == full

@@ -48,6 +48,7 @@ def _flag_extras(args) -> dict:
             if args.decontam
             else {}
         ),
+        **({"extract_html": True} if args.extract_html else {}),
     }
 
 
@@ -92,6 +93,15 @@ def main(argv: list[str] | None = None) -> int:
         "--reload-errs", action="store_true",
         help="retry cached error rows (the reference's --reload-errs)",
     )
+    p.add_argument(
+        "--extract-html", action="store_true",
+        help="first stage: build the text column from the html binary "
+             "column via the frozen extractor (checkpointed; the binary is "
+             "dropped after).  If the input ALREADY has a text column, the "
+             "stage validates text == extract(html) per row and refuses on "
+             "any mismatch (the north-rule per-row invariant)",
+    )
+    p.add_argument("--html-col", default="html")
     p.add_argument(
         "--quality-gate", action="store_true",
         help="drop docs failing the Gopher-style repetition/short-doc flags "
@@ -360,6 +370,35 @@ def main(argv: list[str] | None = None) -> int:
             F.col("id"), F.col("cluster_id").alias("component")
         )
         new_docs = spark.read.parquet(args.incremental_add)
+        if args.extract_html:
+            # per-doc like decontam: the frozen extractor replays exactly
+            # on an isolated batch (text is a pure function of the row's
+            # own html), so extraction-built checkpoints stay consistent
+            # under incremental folds
+            from vid_dup_finder_lib_spark.extraction import extract_text_col
+
+            if args.text_col in new_docs.columns:
+                bad = new_docs.withColumn(
+                    "__ext", extract_text_col(F.col(args.html_col))
+                ).where(
+                    ~(
+                        (F.col(args.text_col) == F.col("__ext"))
+                        | (
+                            F.col(args.text_col).isNull()
+                            & F.col("__ext").isNull()
+                        )
+                    )
+                ).count()
+                if bad:
+                    raise SystemExit(
+                        f"--extract-html: {bad} batch rows violate "
+                        f"{args.text_col} == extract({args.html_col})"
+                    )
+                new_docs = new_docs.drop(args.html_col)
+            else:
+                new_docs = new_docs.withColumn(
+                    args.text_col, extract_text_col(F.col(args.html_col))
+                ).drop(args.html_col)
         if args.decontam:
             # decontam is per-doc vs a BROADCAST benchmark — unlike the
             # corpus-global strips it replays exactly on a batch, so a
@@ -482,6 +521,8 @@ def main(argv: list[str] | None = None) -> int:
         ),
         decontam_ngram=args.decontam_ngram,
         reload_errors=args.reload_errs,
+        extract_html=args.extract_html,
+        html_col=args.html_col,
     )
     if args.output:
         if args.output_format == "json":

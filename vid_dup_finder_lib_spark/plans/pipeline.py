@@ -61,6 +61,8 @@ def run_dedup_pipeline(
     decontam_ngram: int = 13,
     reload_errors: bool = False,
     signature_buckets: int = 64,
+    extract_html: bool = False,
+    html_col: str = "html",
 ) -> PipelineResult:
     """Resumable end-to-end run.  Re-invoking with the same checkpoint_root
     and config resumes after the last completed stage; with changed config
@@ -105,8 +107,52 @@ def run_dedup_pipeline(
     if decontam_docs is not None:
         extra_fp["decontam"] = True
         extra_fp["decontam_ngram"] = decontam_ngram
+    if extract_html:
+        extra_fp["extract_html"] = True
     store = CheckpointStore(checkpoint_root, cfg, extra_fingerprint=extra_fp)
     tol = cfg.default_tolerance if tolerance is None else tolerance
+
+    if extract_html:
+        # FIRST stage: the north-rule input table is (url, warc_ts,
+        # html:binary, text, ...) with the per-row invariant
+        # text == extract(html) byte-identical.  Two modes:
+        #   * input has no text column -> CREATE it from html (the frozen
+        #     extractor, extraction.py) and drop the heavy binary so it
+        #     never flows through later checkpoints;
+        #   * input already has text -> VALIDATE the invariant row by row
+        #     and RAISE with the mismatch count (validate-or-die: a stale
+        #     or foreign text column silently changes every downstream
+        #     signature, which the warc_ts refresh diff cannot see).
+        from pyspark.sql import functions as F
+
+        from vid_dup_finder_lib_spark.extraction import extract_text_col
+
+        has_text = text_col in docs.columns
+
+        def _extracted():
+            if has_text:
+                ext = docs.withColumn("__ext", extract_text_col(F.col(html_col)))
+                bad = ext.where(
+                    ~(
+                        (F.col(text_col) == F.col("__ext"))
+                        | (F.col(text_col).isNull() & F.col("__ext").isNull())
+                    )
+                ).count()
+                if bad:
+                    raise ValueError(
+                        f"extract_html: {bad} rows violate the per-row "
+                        f"invariant {text_col} == extract({html_col}) — "
+                        "refusing to build signatures over a text column "
+                        "that does not match its html"
+                    )
+                return docs.drop(html_col)
+            return docs.withColumn(
+                text_col, extract_text_col(F.col(html_col))
+            ).drop(html_col)
+
+        docs = store.run_stage(
+            spark, "docs_extracted", _extracted, upstream=["docs"], force=force
+        )
 
     if canonicalize_urls:
         from vid_dup_finder_lib_spark.operators.dedup import latest_snapshot_per_url
