@@ -2362,6 +2362,35 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(base.unionByName(copies))
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity audit (operators/splits.py): near-dup edges crossing
+    an 80/10/10 split boundary, per-doc hash split vs cluster-coherent
+    split, stacked by mode.  The cluster-coherent rows are structurally
+    ABSENT (every verified edge is intra-cluster, hence intra-split) —
+    the driver's row-count gate checks that emptiness against the oracle,
+    which rebuilds both splits from the same md5 rule."""
+    from vid_dup_finder_lib_spark.operators.components import connected_components
+    from vid_dup_finder_lib_spark.operators.splits import (
+        cluster_coherent_split,
+        hash_split,
+        split_leakage,
+    )
+
+    fractions = [("train", 800_000), ("val", 100_000), ("test", 100_000)]
+    edges = _lsh_edges(spark, sf_dir)
+    cc = connected_components(edges)
+    ids = _derived_neardup(_docs(spark, sf_dir)).select("doc_id")
+    by_doc = hash_split(ids, fractions)
+    by_cluster = cluster_coherent_split(ids, cc, fractions)
+    leak_doc = split_leakage(edges, by_doc).select(
+        F.lit("doc").alias("mode"), "split_a", "split_b", "n_pairs"
+    )
+    leak_cc = split_leakage(edges, by_cluster).select(
+        F.lit("cluster").alias("mode"), "split_a", "split_b", "n_pairs"
+    )
+    return leak_doc.unionByName(leak_cc)
+
+
 def q_hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HLL sketch (operators/sketch.py): per-language distinct
     3-shingle estimate over the base corpus — the corpus-profiling number
@@ -2485,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_lcs": q_pair_lcs,
         "pair_coverage": q_pair_coverage,
         "hll_distinct_shingles": q_hll_distinct_shingles,
+        "split_leakage": q_split_leakage,
         "cluster_size_histogram": q_cluster_size_histogram,
         "clustering_agreement": q_clustering_agreement,
         "source_overlap_matrix": q_source_overlap_matrix,
@@ -3943,6 +3973,50 @@ SELECT lang, 4096::BIGINT AS m_buckets, (4096 - seen)::BIGINT AS n_zero_buckets,
        ((721110::HUGEINT * 4096 * 4096 * (1::HUGEINT << 49))
         // ((denom_seen + (4096 - seen)::HUGEINT * (1::HUGEINT << 49)) * 1000000))::BIGINT AS estimate
 FROM rep
+""",
+        # split-leakage twin: same md5-prefix split rule, same CC; the
+        # cluster-coherent half contributes zero rows by construction
+        "split_leakage": prologue_r + sql_cc + r"""
+, ids AS (SELECT doc_id FROM derived),
+bdoc AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000) AS r
+  FROM ids
+),
+sdoc AS (
+  SELECT doc_id,
+         CASE WHEN r < 800000 THEN 'train' WHEN r < 900000 THEN 'val' ELSE 'test' END AS split
+  FROM bdoc
+),
+keyed AS (
+  SELECT i.doc_id, coalesce(c.cluster_id, i.doc_id) AS k
+  FROM ids i LEFT JOIN cc c ON c.doc_id = i.doc_id
+),
+bcl AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('split-v1:' || k::VARCHAR), 1, 8))::BIGINT % 1000000) AS r
+  FROM keyed
+),
+scl AS (
+  SELECT doc_id,
+         CASE WHEN r < 800000 THEN 'train' WHEN r < 900000 THEN 'val' ELSE 'test' END AS split
+  FROM bcl
+),
+ldoc AS (
+  SELECT least(a.split, b.split) AS split_a, greatest(a.split, b.split) AS split_b,
+         count(*)::BIGINT AS n_pairs
+  FROM jpairs p JOIN sdoc a ON a.doc_id = p.id1 JOIN sdoc b ON b.doc_id = p.id2
+  WHERE a.split != b.split GROUP BY 1, 2
+),
+lcl AS (
+  SELECT least(a.split, b.split) AS split_a, greatest(a.split, b.split) AS split_b,
+         count(*)::BIGINT AS n_pairs
+  FROM jpairs p JOIN scl a ON a.doc_id = p.id1 JOIN scl b ON b.doc_id = p.id2
+  WHERE a.split != b.split GROUP BY 1, 2
+)
+SELECT 'doc' AS mode, split_a, split_b, n_pairs FROM ldoc
+UNION ALL
+SELECT 'cluster', split_a, split_b, n_pairs FROM lcl
 """,
         # size-1 bucket = derived-corpus docs (2x base) minus clustered docs
         "cluster_size_histogram": prologue_r + sql_cc + r"""
