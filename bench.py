@@ -149,6 +149,7 @@ def main() -> None:
         "hll_distinct_shingles",
         "pair_lcs",
         "pair_coverage",
+        "split_leakage",
         "paragraph_neardup",
         "source_overlap_matrix",
         "clustering_agreement",
