@@ -516,3 +516,56 @@ def test_job_cli_extract_html_incremental_batch(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "g_full")).collect()
     }
     assert inc == full
+
+
+def test_job_cli_report_mode(spark, tmp_path):
+    """--report: read-only ops reports over a completed checkpoint — size
+    histogram (with the singleton bucket when --docs is given) and a
+    cluster-coherent split whose members never straddle splits."""
+    from pyspark.sql import functions as F
+
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=94)
+    cb.make_clusters(
+        num_clusters=2, first_size=4, size_step=1, intra_d=20, inter_d=200, doclen=300
+    )
+    docs = cb.to_spark(spark, partitions=2)
+    docs_path = str(tmp_path / "docs")
+    docs.write.parquet(docs_path)
+    ck = str(tmp_path / "ckpt")
+    assert job.main(
+        ["--docs", docs_path, "--checkpoint", ck, "--tolerance", "0.100",
+         "--output", str(tmp_path / "groups")]
+    ) == 0
+
+    rep = str(tmp_path / "report")
+    assert job.main(
+        ["--checkpoint", ck, "--report", rep, "--docs", docs_path]
+    ) == 0
+
+    hist = spark.read.parquet(rep + "/sizes.parquet")
+    got = {r["cluster_size"]: r["n_clusters"] for r in hist.collect()}
+    assert got.get(4) == 1 and got.get(5) == 1
+    # histogram (incl. singletons) accounts for the whole corpus
+    n_total = docs.count()
+    assert (
+        hist.agg(F.sum(F.col("cluster_size") * F.col("n_clusters"))).collect()[0][0]
+        == n_total
+    )
+
+    splits = spark.read.parquet(rep + "/splits.parquet")
+    assert splits.count() == n_total
+    groups = spark.read.parquet(str(tmp_path / "groups"))
+    k = (
+        splits.join(groups, "id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+    )
+    assert k.where(F.col("k") > 1).count() == 0
+
+    # --report without --docs: histogram only, no singleton bucket row
+    rep2 = str(tmp_path / "report2")
+    assert job.main(["--checkpoint", ck, "--report", rep2]) == 0
+    hist2 = spark.read.parquet(rep2 + "/sizes.parquet")
+    assert sorted(r["cluster_size"] for r in hist2.collect()) == [4, 5]

@@ -193,14 +193,21 @@ def main(argv: list[str] | None = None) -> int:
         "--list-snapshots", action="store_true",
         help="print retained snapshot generations per stage and exit",
     )
+    p.add_argument(
+        "--report", metavar="OUTDIR",
+        help="read-only ops reports over a COMPLETED checkpoint: cluster "
+             "size histogram (sizes.parquet; --docs adds the singleton "
+             "bucket) and, with --docs, a leakage-free cluster-coherent "
+             "80/10/10 split (splits.parquet) — no signature work is rerun",
+    )
     args = p.parse_args(argv)
     if not args.docs and not (
         args.restore or args.list_snapshots or args.incremental_add
-        or args.incremental_delete or args.merge_with
+        or args.incremental_delete or args.merge_with or args.report
     ):
         p.error(
             "--docs is required unless --restore/--list-snapshots/"
-            "--incremental-add/--incremental-delete/--merge-with"
+            "--incremental-add/--incremental-delete/--merge-with/--report"
         )
     if (
         args.incremental_add or args.incremental_delete or args.merge_with
@@ -255,6 +262,53 @@ def main(argv: list[str] | None = None) -> int:
             "row_count": m.get("row_count"),
             "remaining_snapshots": store.snapshots(args.restore),
         }, indent=2))
+        return 0
+
+    if args.report:
+        # read-only: everything derives from the completed groups stage
+        import os
+
+        from vid_dup_finder_lib_spark.operators.components import (
+            cluster_size_histogram,
+        )
+        from vid_dup_finder_lib_spark.operators.splits import (
+            cluster_coherent_split,
+        )
+
+        spark = SparkSession.builder.appName(
+            "vid-dup-finder-spark-report"
+        ).getOrCreate()
+        from pyspark.sql import functions as F
+
+        groups = spark.read.parquet(
+            os.path.join(args.checkpoint, "groups", "data")
+        )
+        assign = groups.select(
+            F.col("id"), F.col("cluster_id").alias("component")
+        )
+        docs = spark.read.parquet(args.docs) if args.docs else None
+        total = (
+            docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+            if docs is not None
+            else None
+        )
+        hist = cluster_size_histogram(assign, n_total_docs=total)
+        hist.write.mode("overwrite").parquet(
+            os.path.join(args.report, "sizes.parquet")
+        )
+        out = {"report": args.report, "histogram_rows": hist.count()}
+        if docs is not None:
+            splits = cluster_coherent_split(
+                docs.select(F.col(args.id_col)),
+                assign,
+                [("train", 800_000), ("val", 100_000), ("test", 100_000)],
+                id_col=args.id_col,
+            )
+            splits.write.mode("overwrite").parquet(
+                os.path.join(args.report, "splits.parquet")
+            )
+            out["split_rows"] = splits.count()
+        print(json.dumps(out, indent=2))
         return 0
 
     if args.merge_with:
