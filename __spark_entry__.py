@@ -2362,6 +2362,34 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(base.unionByName(copies))
 
 
+def q_source_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup cost ledger (dedup.source_dedup_ledger) over the
+    rotated-copy corpus of source_overlap_matrix: every source holds its
+    base docs plus verbatim arrivals from its predecessor, so the min-id
+    survivor rule charges each source exactly its incoming copies."""
+    from vid_dup_finder_lib_spark.operators.dedup import source_dedup_ledger
+
+    docs = _docs(spark, sf_dir, widen=False)
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source"),
+        tokens_col(normalize_text(F.col("text"))).alias("toks"),
+    )
+    n_src = tok.agg(F.countDistinct("source").cast("int").alias("__n_src"))
+    base = tok.select("doc_id", "source", F.array_join("toks", " ").alias("text"))
+    copies = tok.crossJoin(F.broadcast(n_src)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.lit("src"),
+            (
+                (F.substring("source", 4, 10).cast("int") + 1) % F.col("__n_src")
+            ).cast("string"),
+        ).alias("source"),
+        F.array_join("toks", " ").alias("text"),
+    )
+    return source_dedup_ledger(base.unionByName(copies))
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-integrity audit (operators/splits.py): near-dup edges crossing
     an 80/10/10 split boundary, per-doc hash split vs cluster-coherent
@@ -2515,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_coverage": q_pair_coverage,
         "hll_distinct_shingles": q_hll_distinct_shingles,
         "split_leakage": q_split_leakage,
+        "source_dedup_ledger": q_source_dedup_ledger,
         "cluster_size_histogram": q_cluster_size_histogram,
         "clustering_agreement": q_clustering_agreement,
         "source_overlap_matrix": q_source_overlap_matrix,
@@ -3973,6 +4002,41 @@ SELECT lang, 4096::BIGINT AS m_buckets, (4096 - seen)::BIGINT AS n_zero_buckets,
        ((721110::HUGEINT * 4096 * 4096 * (1::HUGEINT << 49))
         // ((denom_seen + (4096 - seen)::HUGEINT * (1::HUGEINT << 49)) * 1000000))::BIGINT AS estimate
 FROM rep
+""",
+        # ledger twin: same rotated-copy corpus as source_overlap_matrix,
+        # min-id survivor rule, decimal floor-division ppm
+        "source_dedup_ledger": _SQL_PROLOGUE + r"""
+, nsrc AS (SELECT count(DISTINCT source)::INT AS n FROM documents),
+src_of AS (SELECT doc_id::BIGINT AS doc_id, source FROM documents),
+corpus AS (
+  SELECT t.doc_id AS id, s.source AS src,
+         array_to_string(t.toks, ' ') AS text, len(t.toks)::BIGINT AS n_tokens
+  FROM tok t JOIN src_of s USING (doc_id)
+  UNION ALL
+  SELECT t.doc_id + 200000,
+         'src' || ((substr(s.source, 4)::INT + 1) % nsrc.n)::VARCHAR,
+         array_to_string(t.toks, ' '), len(t.toks)::BIGINT
+  FROM tok t JOIN src_of s USING (doc_id), nsrc
+),
+hashed AS (SELECT src, id, n_tokens, sha256(text) AS h FROM corpus),
+surv AS (
+  SELECT h, min(id) AS survivor_id FROM hashed WHERE h IS NOT NULL GROUP BY h
+),
+tagged AS (
+  SELECT x.src, x.id, x.n_tokens,
+         (s.survivor_id IS NOT NULL AND x.id != s.survivor_id) AS is_dup
+  FROM hashed x LEFT JOIN surv s USING (h)
+),
+per AS (
+  SELECT src AS source, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+         sum(n_tokens)::BIGINT AS tokens_total,
+         sum(CASE WHEN is_dup THEN 0 ELSE n_tokens END)::BIGINT AS tokens_kept
+  FROM tagged GROUP BY 1
+)
+SELECT source, n_docs, n_dup_docs, tokens_total, tokens_kept,
+       (tokens_kept::HUGEINT * 1000000 // greatest(tokens_total, 1))::BIGINT AS kept_ppm
+FROM per
 """,
         # split-leakage twin: same md5-prefix split rule, same CC; the
         # cluster-coherent half contributes zero rows by construction

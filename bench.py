@@ -150,6 +150,7 @@ def main() -> None:
         "pair_lcs",
         "pair_coverage",
         "split_leakage",
+        "source_dedup_ledger",
         "paragraph_neardup",
         "source_overlap_matrix",
         "clustering_agreement",

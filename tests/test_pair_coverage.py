@@ -150,3 +150,13 @@ def test_naive_parity_randomized(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_missing_doc_keeps_pair_row(spark):
+    # a pair referencing a doc absent from tokens keeps its row with zeros
+    docs = _toks(spark, [(1, _w("a b c d e f g h i"))])
+    r = pair_verbatim_coverage(_pairs(spark, [(1, 99)]), docs, k=8).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["n_tokens2"], row["covered2"], row["coverage2_ppm"]) == (0, 0, 0)
+    assert row["n_tokens1"] == 9

@@ -388,12 +388,30 @@ def pair_verbatim_coverage(
     nt = tokens.select(
         F.col(id_col).alias("__nid"), F.size(F.col(toks_col)).cast("long").alias("__n")
     )
+    # LEFT joins: a pair referencing a doc absent from ``tokens`` keeps its
+    # row with zero token counts (and hence zero coverage) — the repo's
+    # no-silent-drop rule; an inner join here would quietly shrink the
+    # output below one-row-per-input-pair
     p = (
         pairs.select(id1, id2)
-        .join(nt.withColumnRenamed("__n", "n_tokens1"), F.col(id1) == F.col("__nid"))
+        .join(
+            nt.withColumnRenamed("__n", "n_tokens1"),
+            F.col(id1) == F.col("__nid"),
+            "left",
+        )
         .drop("__nid")
-        .join(nt.withColumnRenamed("__n", "n_tokens2"), F.col(id2) == F.col("__nid"))
+        .join(
+            nt.withColumnRenamed("__n", "n_tokens2"),
+            F.col(id2) == F.col("__nid"),
+            "left",
+        )
         .drop("__nid")
+        .select(
+            id1,
+            id2,
+            F.coalesce("n_tokens1", F.lit(0)).cast("long").alias("n_tokens1"),
+            F.coalesce("n_tokens2", F.lit(0)).cast("long").alias("n_tokens2"),
+        )
     )
     return (
         p.join(c1, [id1, id2], "left")
