@@ -569,3 +569,55 @@ def test_job_cli_report_mode(spark, tmp_path):
     assert job.main(["--checkpoint", ck, "--report", rep2]) == 0
     hist2 = spark.read.parquet(rep2 + "/sizes.parquet")
     assert sorted(r["cluster_size"] for r in hist2.collect()) == [4, 5]
+
+
+def test_job_cli_emit_corpus(spark, tmp_path):
+    """--emit-corpus: the deduplicated end product — one min-id survivor
+    per cluster + all singletons, pipeline-processed text, token-budget
+    shards, durable manifest."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=95)
+    cb.make_clusters(
+        num_clusters=2, first_size=4, size_step=1, intra_d=20, inter_d=200, doclen=300
+    )
+    docs = cb.to_spark(spark, partitions=2)
+    docs_path = str(tmp_path / "docs")
+    docs.write.parquet(docs_path)
+    out = str(tmp_path / "corpus")
+    rc = job.main(
+        ["--docs", docs_path, "--checkpoint", str(tmp_path / "ckpt"),
+         "--tolerance", "0.100", "--output", str(tmp_path / "groups"),
+         "--emit-corpus", out, "--shard-tokens", "700"]
+    )
+    assert rc == 0
+
+    kept = spark.read.parquet(out + "/data")
+    groups = spark.read.parquet(str(tmp_path / "groups"))
+    n_total = docs.count()
+    n_clustered = groups.count()
+    n_clusters = groups.select("cluster_id").distinct().count()
+    # survivors = one per cluster + all unmatched docs
+    assert kept.count() == n_clusters + (n_total - n_clustered)
+    # every kept clustered doc is its cluster's min id
+    min_ids = {
+        r["m"] for r in groups.groupBy("cluster_id").agg(F.min("id").alias("m")).collect()
+    }
+    kept_ids = {r["url"] for r in kept.select("url").collect()}
+    assert min_ids <= kept_ids
+    # no kept doc is a non-survivor cluster member
+    non_surv = {r["id"] for r in groups.collect()} - min_ids
+    assert not (kept_ids & non_surv)
+
+    # shards respect the budget boundary rule (a doc belongs to the shard
+    # its running offset starts in) and the manifest is consistent
+    man = _json.load(open(out + "/manifest.json"))
+    assert man["n_docs"] == kept.count()
+    assert man["n_tokens"] == kept.agg(F.sum("n_tokens")).collect()[0][0]
+    assert man["n_shards"] == kept.select("shard_id").distinct().count()
+    offs = kept.select("shard_id", "shard_offset").collect()
+    assert all(r["shard_offset"] // 700 == r["shard_id"] for r in offs)

@@ -194,6 +194,18 @@ def main(argv: list[str] | None = None) -> int:
         help="print retained snapshot generations per stage and exit",
     )
     p.add_argument(
+        "--emit-corpus", metavar="OUTDIR",
+        help="after the run, write the deduplicated corpus (one min-id "
+             "survivor per near-dup cluster + all unmatched docs, with the "
+             "pipeline-processed text) packed into token-budget shards "
+             "under OUTDIR/data plus OUTDIR/manifest.json (cc grouping "
+             "only)",
+    )
+    p.add_argument(
+        "--shard-tokens", type=int, default=1_000_000,
+        help="token budget per emitted shard (whitespace tokens; default 1M)",
+    )
+    p.add_argument(
         "--report", metavar="OUTDIR",
         help="read-only ops reports over a COMPLETED checkpoint: cluster "
              "size histogram (sizes.parquet; --docs adds the singleton "
@@ -623,6 +635,66 @@ def main(argv: list[str] | None = None) -> int:
         unique_docs(docs, res.edges, id_col=args.id_col).select(args.id_col).write.mode(
             "overwrite"
         ).parquet(args.output_unique)
+    if args.emit_corpus:
+        # the END PRODUCT: one survivor per near-dup cluster + every
+        # unmatched doc, with the PIPELINE-processed text (res.docs — the
+        # text the signatures were actually built over, after extraction/
+        # strips/gates/rewrites), packed into token-budget shards with a
+        # durable manifest.  Deterministic: survivor = min member id,
+        # shard order = id order.
+        import os
+
+        from pyspark.sql import functions as F
+
+        from vid_dup_finder_lib_spark.functions.textstats import (
+            whitespace_token_count,
+        )
+        from vid_dup_finder_lib_spark.operators.dedup import neardup_survivors
+        from vid_dup_finder_lib_spark.operators.packing import pack_shards
+
+        if "is_seed" in res.groups.columns:
+            raise SystemExit(
+                "--emit-corpus supports cc grouping only: matchset groups "
+                "may overlap, so 'one survivor per cluster' is not a "
+                "partition of the corpus there"
+            )
+        cc = res.groups.select("id", "cluster_id")
+        surv = neardup_survivors(
+            res.docs, cc, id_col=args.id_col, member_col="id",
+            cluster_col="cluster_id",
+        )
+        kept = res.docs.join(
+            surv.withColumnRenamed(args.id_col, "__sid"),
+            F.col(args.id_col) == F.col("__sid"),
+        ).drop("__sid")
+        weighted = kept.withColumn(
+            "n_tokens",
+            F.coalesce(
+                whitespace_token_count(F.col(args.text_col)), F.lit(0)
+            ).cast("long"),
+        )
+        packed = pack_shards(
+            weighted, args.shard_tokens, order_col=args.id_col,
+            weight_col="n_tokens",
+        ).localCheckpoint(eager=True)
+        packed.write.mode("overwrite").partitionBy("shard_id").parquet(
+            os.path.join(args.emit_corpus, "data")
+        )
+        agg = packed.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+            (F.coalesce(F.max("shard_id"), F.lit(-1)) + 1).alias("n_shards"),
+        ).collect()[0]
+        manifest = {
+            "n_docs": agg["n_docs"],
+            "n_tokens": agg["n_tokens"],
+            "n_shards": agg["n_shards"],
+            "shard_token_budget": args.shard_tokens,
+            "survivor_rule": "min member id per cluster + singletons",
+        }
+        with open(os.path.join(args.emit_corpus, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        print(json.dumps({"emit_corpus": manifest}, indent=2))
     print(json.dumps({k: {kk: m[kk] for kk in ("row_count", "wall_seconds")}
                       for k, m in res.metrics.items() if "row_count" in m}, indent=2))
     return 0

@@ -35,6 +35,11 @@ class PipelineResult:
     groups: DataFrame
     stats: DataFrame
     metrics: dict
+    # the corpus AFTER the preprocessing stages (extraction, URL collapse,
+    # strips, gates, paragraph rewrite) — what downstream consumers (e.g.
+    # --emit-corpus) must read instead of the raw input, or they'd ship
+    # text the signatures were never built over
+    docs: DataFrame | None = None
 
 
 def run_dedup_pipeline(
@@ -323,4 +328,5 @@ def run_dedup_pipeline(
         groups=groups,
         stats=stats,
         metrics=store.metrics(),
+        docs=docs,
     )
