@@ -65,14 +65,14 @@ def hll_registers(
     hexd = p // 4
     h = F.md5(key)
     w = F.conv(F.substring(h, hexd + 1, 12), 16, 10).cast("long")
-    row = df.select(
+    row = df.where(key.isNotNull()).select(
         *[F.col(c) for c in group_cols],
         F.conv(F.substring(h, 1, hexd), 16, 10).cast("int").alias("bucket"),
         F.when(w == 0, F.lit(_MAX_RANK))
         .otherwise(F.lit(_MAX_RANK) - F.length(F.bin(w)))
         .cast("int")
         .alias("rho"),
-    ).where(key.isNotNull())
+    )
     return row.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("r"))
 
 
