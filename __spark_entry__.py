@@ -2362,6 +2362,24 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(base.unionByName(copies))
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/CCNet-class compressibility quality signal
+    (textstats.compression_ratio_permille): zlib deflate ratio in integer
+    permille per doc.  No ANSI-SQL twin exists (DuckDB has no deflate), so
+    the oracle is a committed fixture from a Spark-free twin
+    (tools/make_zlib_fixture.py) that pins the UTF-8/permille/null/level
+    contract; tests/test_zlib_oracle.py guards staleness."""
+    from vid_dup_finder_lib_spark.functions.textstats import (
+        compression_ratio_permille,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        compression_ratio_permille(F.col("text")).alias("ratio_permille"),
+    )
+
+
 def q_source_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup cost ledger (dedup.source_dedup_ledger) over the
     rotated-copy corpus of source_overlap_matrix: every source holds its
@@ -2544,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_shingles": q_hll_distinct_shingles,
         "split_leakage": q_split_leakage,
         "source_dedup_ledger": q_source_dedup_ledger,
+        "compression_ratio": q_compression_ratio,
         "cluster_size_histogram": q_cluster_size_histogram,
         "clustering_agreement": q_clustering_agreement,
         "source_overlap_matrix": q_source_overlap_matrix,
@@ -4002,6 +4021,12 @@ SELECT lang, 4096::BIGINT AS m_buckets, (4096 - seen)::BIGINT AS n_zero_buckets,
        ((721110::HUGEINT * 4096 * 4096 * (1::HUGEINT << 49))
         // ((denom_seen + (4096 - seen)::HUGEINT * (1::HUGEINT << 49)) * 1000000))::BIGINT AS estimate
 FROM rep
+""",
+        # zlib has no SQL twin: committed fixture from the Spark-free
+        # generator, like the simhash/ahash families (frozen level=6)
+        "compression_ratio": r"""
+SELECT doc_id::BIGINT AS doc_id, ratio_permille::BIGINT AS ratio_permille
+FROM read_parquet('/root/repo/fixtures/compression_ratio_sf0.01.parquet')
 """,
         # ledger twin: same rotated-copy corpus as source_overlap_matrix,
         # min-id survivor rule, decimal floor-division ppm

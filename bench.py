@@ -151,6 +151,7 @@ def main() -> None:
         "pair_coverage",
         "split_leakage",
         "source_dedup_ledger",
+        "compression_ratio",
         "paragraph_neardup",
         "source_overlap_matrix",
         "clustering_agreement",

@@ -9,6 +9,7 @@ value-for-value.
 
 from __future__ import annotations
 
+import pandas as pd  # resolved by pandas_udf type hints under future-annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -163,3 +164,34 @@ def contamination_stats(text: Column) -> dict[str, Column]:
         "phone_hits": F.regexp_count(text, F.lit(PHONE_RE)).cast("long"),
         "masked_md5": F.md5(masked),
     }
+
+
+def compression_ratio_permille(text: Column, level: int = 6) -> Column:
+    """Per-doc zlib compression ratio in integer permille:
+    ``len(zlib(utf8)) * 1000 // max(len(utf8), 1)`` — the Gopher/CCNet-class
+    quality signal the codegen stats above cannot express (machine-generated
+    boilerplate and template spam compress far below human text; truly
+    random noise barely compresses at all).  Useful thresholds: flag below
+    ~200‰ (extreme repetition) and above ~1000‰ (binary-ish noise).
+
+    Arrow-batched pandas UDF around zlib's C deflate — the established
+    exception class (extraction.py's adjudication): the hot loop is C, the
+    Python layer is per-row dispatch only.  Deterministic: RFC-1950 output
+    for a fixed level and input is a pure function (no timestamps in the
+    zlib container, unlike gzip), pinned cross-run by the fixture oracle.
+    Null text -> null.  ``level`` is part of the contract — changing it
+    regenerates the fixture.
+    """
+    @F.pandas_udf("long")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            return len(zlib.compress(b, level)) * 1000 // max(len(b), 1)
+
+        return s.map(one)
+
+    return _ratio(text)
