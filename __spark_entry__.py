@@ -2362,6 +2362,17 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(base.unionByName(copies))
 
 
+def q_medoid_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-based survivor choice (dedup.medoid_survivors): per
+    near-dup cluster, the member with maximal summed incident edge Jaccard
+    (integer ppm), ties to the smaller id — the most-central exemplar, vs
+    neardup_survivors' arbitrary min-id rule."""
+    from vid_dup_finder_lib_spark.operators.dedup import medoid_survivors
+
+    sigs, edges, cc = _sigs_edges_cc(spark, sf_dir)
+    return medoid_survivors(cc, edges)
+
+
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/CCNet-class compressibility quality signal
     (textstats.compression_ratio_permille): zlib deflate ratio in integer
@@ -2563,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "source_dedup_ledger": q_source_dedup_ledger,
         "compression_ratio": q_compression_ratio,
+        "medoid_survivors": q_medoid_survivors,
         "cluster_size_histogram": q_cluster_size_histogram,
         "clustering_agreement": q_clustering_agreement,
         "source_overlap_matrix": q_source_overlap_matrix,
@@ -4021,6 +4033,32 @@ SELECT lang, 4096::BIGINT AS m_buckets, (4096 - seen)::BIGINT AS n_zero_buckets,
        ((721110::HUGEINT * 4096 * 4096 * (1::HUGEINT << 49))
         // ((denom_seen + (4096 - seen)::HUGEINT * (1::HUGEINT << 49)) * 1000000))::BIGINT AS estimate
 FROM rep
+""",
+        # medoid twin: symmetric edge mass in exact integer ppm, per-cluster
+        # argmax with smaller-id tie-break via max(struct(mass, -id))
+        "medoid_survivors": prologue_r + sql_cc + r"""
+, score AS (
+  SELECT id1 AS m,
+         (inter_count::HUGEINT * 1000000 // greatest(union_count, 1))::BIGINT AS s
+  FROM jpairs
+  UNION ALL
+  SELECT id2,
+         (inter_count::HUGEINT * 1000000 // greatest(union_count, 1))::BIGINT
+  FROM jpairs
+),
+mass AS (SELECT m, sum(s)::BIGINT AS mass FROM score GROUP BY m),
+j AS (
+  SELECT c.cluster_id, c.doc_id AS m, coalesce(ms.mass, 0)::BIGINT AS mass
+  FROM cc c LEFT JOIN mass ms ON ms.m = c.doc_id
+),
+best AS (
+  SELECT cluster_id, count(*)::BIGINT AS n_members,
+         max(struct_pack(a := mass, b := -m)) AS st
+  FROM j GROUP BY 1
+)
+SELECT cluster_id, (-struct_extract(st, 'b'))::BIGINT AS survivor_id,
+       n_members, struct_extract(st, 'a')::BIGINT AS survivor_score_ppm
+FROM best
 """,
         # zlib has no SQL twin: committed fixture from the Spark-free
         # generator, like the simhash/ahash families (frozen level=6)

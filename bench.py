@@ -152,6 +152,7 @@ def main() -> None:
         "split_leakage",
         "source_dedup_ledger",
         "compression_ratio",
+        "medoid_survivors",
         "paragraph_neardup",
         "source_overlap_matrix",
         "clustering_agreement",
