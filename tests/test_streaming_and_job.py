@@ -621,3 +621,75 @@ def test_job_cli_emit_corpus(spark, tmp_path):
     assert man["n_shards"] == kept.select("shard_id").distinct().count()
     offs = kept.select("shard_id", "shard_offset").collect()
     assert all(r["shard_offset"] // 700 == r["shard_id"] for r in offs)
+
+
+def test_job_cli_all_stages_composed(spark, tmp_path):
+    """Every cluster-preserving stage in ONE run: --extract-html +
+    --quality-gate + --decontam + --emit-corpus + groups output, then
+    --report over the same checkpoint.  Pins flag interactions (fingerprint
+    keys, stage ordering, res.docs threading) that per-flag tests miss.
+    --dedup-paragraphs is deliberately absent: first-wins paragraph dedup
+    REWRITES near-dup copies (shared lines stripped -> copies shrink out of
+    the length band), so on an intra_d-mutated corpus it legitimately
+    dissolves the clusters — its semantics are pinned by its own test."""
+    from pyspark.sql import functions as F
+
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=96)
+    cb.make_clusters(
+        num_clusters=2, first_size=4, size_step=1, intra_d=20, inter_d=200, doclen=300
+    )
+    docs = cb.to_spark(spark, partitions=2)
+    raw_path = str(tmp_path / "raw")
+    docs.drop("text").write.parquet(raw_path)  # html-only input
+
+    bench_docs = spark.createDataFrame(
+        [(900, "benchmark eval question that appears nowhere " * 5)],
+        "doc_id long, text string",
+    )
+    bench_path = str(tmp_path / "bench")
+    bench_docs.write.parquet(bench_path)
+
+    ck = str(tmp_path / "ckpt")
+    corpus_out = str(tmp_path / "corpus")
+    rc = job.main(
+        [
+            "--docs", raw_path,
+            "--checkpoint", ck,
+            "--tolerance", "0.100",
+            "--extract-html",
+            "--quality-gate", "--quality-min-tokens", "10",
+            "--decontam", bench_path,
+            "--output", str(tmp_path / "groups"),
+            "--emit-corpus", corpus_out, "--shard-tokens", "2000",
+        ]
+    )
+    assert rc == 0
+
+    # all stage tables present and ordered by the pipeline
+    import os
+
+    for stage in ("docs_extracted", "docs_quality", "docs_decontam",
+                  "signatures", "groups"):
+        assert os.path.isdir(os.path.join(ck, stage, "data")), stage
+
+    groups = spark.read.parquet(str(tmp_path / "groups"))
+    sizes = sorted(r["count"] for r in groups.groupBy("cluster_id").count().collect())
+    assert sizes == [4, 5]
+
+    kept = spark.read.parquet(corpus_out + "/data")
+    assert kept.count() == 2 + 0  # 2 survivors, no singletons in this corpus
+    # emitted text is the PIPELINE-processed text — it must match the LAST
+    # preprocessing stage the run produced
+    stage_docs = spark.read.parquet(os.path.join(ck, "docs_decontam", "data"))
+    j = kept.select("url", F.col("text").alias("emitted")).join(
+        stage_docs.select("url", F.col("text").alias("staged")), "url"
+    )
+    assert j.where(F.col("emitted") != F.col("staged")).count() == 0
+
+    # --report over the same checkpoint composes read-only
+    rep = str(tmp_path / "report")
+    assert job.main(["--checkpoint", ck, "--report", rep]) == 0
+    hist = spark.read.parquet(rep + "/sizes.parquet")
+    assert sorted(r["cluster_size"] for r in hist.collect()) == [4, 5]
