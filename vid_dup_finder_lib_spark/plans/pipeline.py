@@ -89,6 +89,16 @@ def run_dedup_pipeline(
     checkpointed stage, so the removed count is durable lineage, never a
     silent loss.
 
+    ``dedup_paragraphs`` interaction warning (measured, not hypothetical):
+    first-occurrence-wins paragraph dedup REWRITES later copies — their
+    shared lines are stripped, so a near-verbatim copy of an earlier doc
+    can shrink below the ±length band and stop pairing with its original.
+    On a corpus whose duplication is mostly whole-document, run paragraph
+    dedup AFTER the near-dup pass (on the emitted survivors), not before;
+    before is right when the duplication is passage-level (boilerplate,
+    syndication).  The drop lineage (n_lines/n_kept per doc) is durable in
+    the stage table either way.
+
     The strip/gate knobs are part of the stage fingerprint: toggling
     ``strip_boilerplate``/``quality_gate`` or changing their thresholds
     against an existing checkpoint REFUSES (validate-or-die) instead of
