@@ -693,3 +693,42 @@ def test_job_cli_all_stages_composed(spark, tmp_path):
     assert job.main(["--checkpoint", ck, "--report", rep]) == 0
     hist = spark.read.parquet(rep + "/sizes.parquet")
     assert sorted(r["cluster_size"] for r in hist.collect()) == [4, 5]
+
+
+def test_job_cli_emit_corpus_medoid_rule(spark, tmp_path):
+    """--emit-corpus --survivor-rule medoid: same cardinality as min-id
+    (one survivor per cluster + singletons), survivors are real members,
+    Jaccard mass attached from the signatures stage only for this mode."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=97)
+    cb.make_clusters(
+        num_clusters=2, first_size=4, size_step=1, intra_d=20, inter_d=200, doclen=300
+    )
+    docs = cb.to_spark(spark, partitions=2)
+    docs_path = str(tmp_path / "docs")
+    docs.write.parquet(docs_path)
+    out = str(tmp_path / "corpus")
+    rc = job.main(
+        ["--docs", docs_path, "--checkpoint", str(tmp_path / "ckpt"),
+         "--tolerance", "0.100", "--output", str(tmp_path / "groups"),
+         "--emit-corpus", out, "--survivor-rule", "medoid"]
+    )
+    assert rc == 0
+    kept = spark.read.parquet(out + "/data")
+    groups = spark.read.parquet(str(tmp_path / "groups"))
+    n_clusters = groups.select("cluster_id").distinct().count()
+    n_singles = docs.count() - groups.count()
+    assert kept.count() == n_clusters + n_singles
+    # every clustered survivor is a member of some cluster
+    members = {r["id"] for r in groups.collect()}
+    clustered_kept = {
+        r["url"] for r in kept.where(F.col("cluster_size") > 1).collect()
+    }
+    assert clustered_kept <= members
+    man = _json.load(open(out + "/manifest.json"))
+    assert man["survivor_rule"].startswith("medoid")

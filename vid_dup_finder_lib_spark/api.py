@@ -583,3 +583,80 @@ def explain_pair(
                            "n_shared", "n_only1", "n_only2"),
               ["id1", "id2"])
     )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    tolerance: float | None = None,
+    cfg: SigConfig = DEFAULT_CONFIG,
+    id_col: str = "url",
+    text_col: str = "text",
+    survivor_rule: str = "min_id",
+) -> DataFrame:
+    """The one-call fuzzy dedup a training pipeline wants: search, cluster,
+    pick one survivor per cluster, return the KEPT documents (all input
+    columns, plus ``cluster_size`` lineage — 1 for docs that matched
+    nothing).  The CLI form is ``--emit-corpus``; this is the library form.
+
+    ``survivor_rule``:
+
+    * ``"min_id"`` — smallest member id (deterministic, arbitrary; matches
+      the CC label, so survivors ARE the cluster ids);
+    * ``"medoid"`` — the most-central member by summed incident edge
+      Jaccard mass (operators.dedup.medoid_survivors): the defensible rule
+      when the kept text is the product.
+
+    Always cc grouping (matchset groups can overlap — not a partition).
+    """
+    from vid_dup_finder_lib_spark.operators.components import connected_components
+    from vid_dup_finder_lib_spark.operators.dedup import (
+        medoid_survivors,
+        neardup_survivors,
+    )
+
+    if survivor_rule not in ("min_id", "medoid"):
+        raise ValueError(
+            f"unknown survivor_rule {survivor_rule!r} (min_id | medoid)"
+        )
+    tol = cfg.default_tolerance if tolerance is None else tolerance
+    # verification is the reference's tolerance radius either way; the
+    # medoid rule additionally needs per-edge Jaccard mass, attached via a
+    # 0-threshold predicate (a no-op filter) — the heavier shingle shuffle
+    # is paid ONLY when that rule asks for it
+    sigs = _materialize(build_signatures(docs, cfg, id_col, text_col), True)
+    pairs, _quarantined = candidate_pairs(sigs, cfg)
+    edges = _materialize(
+        verified_edges(
+            _materialize(pairs, True), sigs, cfg,
+            tolerance=tol,
+            jaccard_num_den=(0, 1) if survivor_rule == "medoid" else None,
+        ),
+        True,
+    )
+    cc = connected_components(edges).select(
+        F.col("id").alias("__m"), F.col("component").alias("__c")
+    )
+    if survivor_rule == "min_id":
+        kept_ids = neardup_survivors(
+            docs, cc, id_col=id_col, member_col="__m", cluster_col="__c"
+        ).select(F.col(id_col).alias("__kid"), "cluster_size")
+    elif survivor_rule == "medoid":
+        med = medoid_survivors(cc, edges, member_col="__m", cluster_col="__c")
+        clustered = med.select(
+            F.col("survivor_id").alias("__kid"),
+            F.col("n_members").alias("cluster_size"),
+        )
+        singles = (
+            docs.select(F.col(id_col).alias("__kid"))
+            .join(cc.withColumnRenamed("__m", "__kid").select("__kid"),
+                  "__kid", "left_anti")
+            .select("__kid", F.lit(1).cast("long").alias("cluster_size"))
+        )
+        kept_ids = clustered.unionByName(singles)
+    else:
+        raise ValueError(
+            f"unknown survivor_rule {survivor_rule!r} (min_id | medoid)"
+        )
+    return docs.join(
+        kept_ids, docs[id_col] == kept_ids["__kid"]
+    ).drop("__kid")

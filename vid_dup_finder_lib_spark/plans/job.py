@@ -206,6 +206,13 @@ def main(argv: list[str] | None = None) -> int:
         help="token budget per emitted shard (whitespace tokens; default 1M)",
     )
     p.add_argument(
+        "--survivor-rule", choices=["min-id", "medoid"], default="min-id",
+        dest="survivor_rule",
+        help="--emit-corpus survivor choice: smallest member id (default) "
+             "or the most-central member by summed incident edge Jaccard "
+             "mass (dedup.medoid_survivors)",
+    )
+    p.add_argument(
         "--report", metavar="OUTDIR",
         help="read-only ops reports over a COMPLETED checkpoint: cluster "
              "size histogram (sizes.parquet; --docs adds the singleton "
@@ -659,13 +666,47 @@ def main(argv: list[str] | None = None) -> int:
                 "partition of the corpus there"
             )
         cc = res.groups.select("id", "cluster_id")
-        surv = neardup_survivors(
-            res.docs, cc, id_col=args.id_col, member_col="id",
-            cluster_col="cluster_id",
-        )
+        if args.survivor_rule == "medoid":
+            from vid_dup_finder_lib_spark.operators.dedup import (
+                medoid_survivors,
+            )
+            from vid_dup_finder_lib_spark.operators.verify import (
+                attach_signatures,
+                with_distances,
+            )
+
+            # the pipeline's edge stage verifies by tolerance radius and
+            # carries no Jaccard counts; attach shingle arrays from the
+            # signatures stage HERE (medoid-only cost — every other run
+            # keeps the lean edge schema)
+            scored = with_distances(
+                attach_signatures(
+                    res.edges.select("id1", "id2"),
+                    res.signatures,
+                    need_shingles=True,
+                    need_tokens=False,
+                )
+            ).select("id1", "id2", "inter_count", "union_count")
+            med = medoid_survivors(
+                cc, scored, member_col="id", cluster_col="cluster_id"
+            )
+            clustered = med.select(
+                F.col("survivor_id").alias("__sid"),
+                F.col("n_members").alias("cluster_size"),
+            )
+            singles = (
+                res.docs.select(F.col(args.id_col).alias("__sid"))
+                .join(cc.select(F.col("id").alias("__sid")), "__sid", "left_anti")
+                .select("__sid", F.lit(1).cast("long").alias("cluster_size"))
+            )
+            surv = clustered.unionByName(singles)
+        else:
+            surv = neardup_survivors(
+                res.docs, cc, id_col=args.id_col, member_col="id",
+                cluster_col="cluster_id",
+            ).withColumnRenamed(args.id_col, "__sid")
         kept = res.docs.join(
-            surv.withColumnRenamed(args.id_col, "__sid"),
-            F.col(args.id_col) == F.col("__sid"),
+            surv, F.col(args.id_col) == F.col("__sid")
         ).drop("__sid")
         weighted = kept.withColumn(
             "n_tokens",
@@ -690,7 +731,11 @@ def main(argv: list[str] | None = None) -> int:
             "n_tokens": agg["n_tokens"],
             "n_shards": agg["n_shards"],
             "shard_token_budget": args.shard_tokens,
-            "survivor_rule": "min member id per cluster + singletons",
+            "survivor_rule": (
+                "medoid (max incident edge mass) per cluster + singletons"
+                if args.survivor_rule == "medoid"
+                else "min member id per cluster + singletons"
+            ),
         }
         with open(os.path.join(args.emit_corpus, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
