@@ -732,3 +732,17 @@ def test_job_cli_emit_corpus_medoid_rule(spark, tmp_path):
     assert clustered_kept <= members
     man = _json.load(open(out + "/manifest.json"))
     assert man["survivor_rule"].startswith("medoid")
+
+
+def test_emit_corpus_refuses_fold_modes(tmp_path):
+    """--emit-corpus with a fold/report mode would be silently ignored
+    (those modes return before the emit step) — it must refuse instead."""
+    import pytest
+
+    from vid_dup_finder_lib_spark.plans import job
+
+    with pytest.raises(SystemExit):
+        job.main(
+            ["--checkpoint", str(tmp_path / "ck"), "--report",
+             str(tmp_path / "rep"), "--emit-corpus", str(tmp_path / "out")]
+        )

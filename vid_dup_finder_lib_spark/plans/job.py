@@ -240,6 +240,15 @@ def main(argv: list[str] | None = None) -> int:
             "--merge-with is one fold: run add/delete folds as separate "
             "invocations (order matters for labels)"
         )
+    if args.emit_corpus and (
+        args.incremental_add or args.incremental_delete or args.merge_with
+        or args.report or args.restore or args.list_snapshots
+    ):
+        p.error(
+            "--emit-corpus runs only with the full pipeline: the fold/"
+            "report/recovery modes return before the emit step — rerun the "
+            "full job (its stages resume from the checkpoint) to export"
+        )
     if args.sweep_tolerances and not args.output:
         p.error("--sweep-tolerances requires --output")
     if args.sweep_tolerances and args.grouping != "cc":
