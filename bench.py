@@ -160,9 +160,13 @@ def main() -> None:
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}
+    # single pass by default: at 49 graduated extras a min-of-2 doubles
+    # ~15 min of wall and risks the harness's bench timeout (the headline
+    # keeps its min-of-2 storm shield; extras outliers are visible as such)
+    extra_runs = int(os.environ.get("SPARK_GRAFT_EXTRA_RUNS", "1"))
     for name in extra_names:
         best = None
-        for _ in range(2):
+        for _ in range(extra_runs):
             t0 = time.time()
             n = qs[name](spark, sf_dir).count()
             dt = time.time() - t0
