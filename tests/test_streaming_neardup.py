@@ -149,3 +149,60 @@ def test_replay_after_upsert_is_idempotent(spark, tmp_path):
     # and a second upsert of the same survivors is a content no-op
     store.upsert(survivors, id_col="id")
     assert {r["id"] for r in store.read(spark).collect()} == {"a1", "b1"}
+
+
+def test_html_only_stream_extracts_then_dedups(spark, tmp_path):
+    """extract_html=True: crawl-native batches (url, html binary) are
+    extracted inside each micro-batch; near-dups across batches still
+    canonicalize to the stored survivor; a batch that already carries
+    text refuses (mixed provenance)."""
+    import pytest
+
+    from vid_dup_finder_lib_spark.corpus import CorpusBuilder as CB
+
+    texts = _texts()
+    html_schema = "url string, html binary"
+
+    def to_html(t):
+        return CB.text_to_html(t, title="x")
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    store = PartitionedSignatureStore(str(tmp_path / "store"), CFG, num_buckets=4)
+
+    b1 = [Row(url="a", html=to_html(texts["a"])), Row(url="b", html=to_html(texts["b"]))]
+    spark.createDataFrame(b1, html_schema).coalesce(1).write.parquet(src)
+    stream_neardup_dedup(
+        spark, src, out, ckpt, store, html_schema, cfg=CFG, tolerance=TOL,
+        extract_html=True,
+    )
+    b2 = [Row(url="zb", html=to_html(texts["b_near"])),  # near-dup of stored b
+          Row(url="zc", html=to_html(texts["c"]))]
+    spark.createDataFrame(b2, html_schema).coalesce(1).write.mode("append").parquet(src)
+    stream_neardup_dedup(
+        spark, src, out, ckpt, store, html_schema, cfg=CFG, tolerance=TOL,
+        extract_html=True,
+    )
+
+    got = {
+        r["id"]: (r["canonical_id"], r["is_survivor"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got["a"] == ("a", True) and got["b"] == ("b", True)
+    assert got["zb"] == ("b", False)  # extracted text near-matched the store
+    assert got["zc"] == ("zc", True)
+    assert set(store.read(spark).select("id").toPandas()["id"]) == {"a", "b", "zc"}
+
+    # a text-carrying batch under extract_html refuses
+    mixed_schema = "url string, html binary, text string"
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [Row(url="m", html=to_html(texts["d"]), text=texts["d"])], mixed_schema
+    ).coalesce(1).write.parquet(src2)
+    with pytest.raises(Exception, match="mixed text provenance"):
+        stream_neardup_dedup(
+            spark, src2, str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
+            PartitionedSignatureStore(str(tmp_path / "store2"), CFG, num_buckets=4),
+            mixed_schema, cfg=CFG, tolerance=TOL, extract_html=True,
+        )

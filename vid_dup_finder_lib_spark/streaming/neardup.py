@@ -124,6 +124,8 @@ def stream_neardup_dedup(
     text_col: str = "text",
     available_now: bool = True,
     max_files_per_trigger: int = 64,
+    extract_html: bool = False,
+    html_col: str = "html",
 ):
     """Run the incremental near-dup ingest; returns the StreamingQuery.
 
@@ -131,12 +133,32 @@ def stream_neardup_dedup(
     is_survivor) per arriving doc and grows ``store`` by exactly the
     survivors.  ``id_col`` values are compared as strings (the signature
     kernel's key domain — mind '100002' < '2').
+
+    ``extract_html``: accept the crawl-native batch shape (``html_col``
+    binary, no text) — the frozen extractor builds ``text_col`` inside
+    each micro-batch before the signature pass (the streaming twin of the
+    pipeline's ``--extract-html`` stage; per-doc, hence replay-idempotent
+    like the rest of foreachBatch).  Batches that already carry
+    ``text_col`` refuse: a stream mixing pre-extracted and raw shapes
+    would silently build signatures over two different text provenances.
     """
     tol = cfg.default_tolerance if tolerance is None else tolerance
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from vid_dup_finder_lib_spark.operators.signatures import build_signatures
 
+        if extract_html:
+            from vid_dup_finder_lib_spark.extraction import extract_text_col
+
+            if text_col in batch_df.columns:
+                raise ValueError(
+                    f"stream_neardup_dedup(extract_html=True): the batch "
+                    f"already carries {text_col!r} — mixed text provenance; "
+                    "drop the column from the source or turn extraction off"
+                )
+            batch_df = batch_df.withColumn(
+                text_col, extract_text_col(F.col(html_col))
+            ).drop(html_col)
         # build_signatures always emits the key as column "id" (the Arrow
         # kernel's schema), whatever the input id_col was
         sigs_new = build_signatures(batch_df, cfg, id_col, text_col).localCheckpoint(
