@@ -2362,6 +2362,22 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(base.unionByName(copies))
 
 
+def q_char_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsegmented-script dedup (dedup.char_ngram_jaccard_pairs): exact
+    character-5-gram Jaccard pairs over the derived corpus with ALL SPACES
+    REMOVED — the zh/ja/th web-text shape where whitespace tokenization
+    collapses each doc to one giant token and every token-shingle operator
+    is structurally blind, while char grams still see the planted
+    near-dups."""
+    from vid_dup_finder_lib_spark.operators.dedup import char_ngram_jaccard_pairs
+
+    derived = _derived_neardup(_docs(spark, sf_dir))
+    nospace = derived.select(
+        "doc_id", F.regexp_replace(F.col("text"), " ", "").alias("text")
+    )
+    return char_ngram_jaccard_pairs(nospace, n=5, threshold_num=1, threshold_den=2)
+
+
 def q_medoid_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-based survivor choice (dedup.medoid_survivors): per
     near-dup cluster, the member with maximal summed incident edge Jaccard
@@ -2575,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_dedup_ledger": q_source_dedup_ledger,
         "compression_ratio": q_compression_ratio,
         "medoid_survivors": q_medoid_survivors,
+        "char_ngram_pairs": q_char_ngram_pairs,
         "cluster_size_histogram": q_cluster_size_histogram,
         "clustering_agreement": q_clustering_agreement,
         "source_overlap_matrix": q_source_overlap_matrix,
@@ -4033,6 +4050,29 @@ SELECT lang, 4096::BIGINT AS m_buckets, (4096 - seen)::BIGINT AS n_zero_buckets,
        ((721110::HUGEINT * 4096 * 4096 * (1::HUGEINT << 49))
         // ((denom_seen + (4096 - seen)::HUGEINT * (1::HUGEINT << 49)) * 1000000))::BIGINT AS estimate
 FROM rep
+""",
+        # char-gram twin: identical 5-char shingles over the space-stripped
+        # derived corpus, raw-string join
+        "char_ngram_pairs": _SQL_PROLOGUE + r"""
+, cn AS (SELECT doc_id, array_to_string(toks, '') AS s FROM derived),
+csh AS (
+  SELECT doc_id,
+         CASE WHEN length(s) >= 5 THEN
+           list_distinct(list_transform(range(1, length(s) - 3), i -> substr(s, i, 5)))
+         ELSE []::VARCHAR[] END AS gs
+  FROM cn
+),
+cex AS (SELECT doc_id, len(gs)::BIGINT AS sc, unnest(gs) AS g FROM csh WHERE len(gs) > 0),
+craw AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sc AS sc1, b.sc AS sc2,
+         count(*)::BIGINT AS inter_count
+  FROM cex a JOIN cex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id1, id2, inter_count,
+       (sc1 + sc2 - inter_count)::BIGINT AS union_count
+FROM craw
+WHERE inter_count * 2 >= (sc1 + sc2 - inter_count) * 1
 """,
         # medoid twin: symmetric edge mass in exact integer ppm, per-cluster
         # argmax with smaller-id tie-break via max(struct(mass, -id))

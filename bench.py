@@ -153,6 +153,7 @@ def main() -> None:
         "source_dedup_ledger",
         "compression_ratio",
         "medoid_survivors",
+        "char_ngram_pairs",
         "paragraph_neardup",
         "source_overlap_matrix",
         "clustering_agreement",

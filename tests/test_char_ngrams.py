@@ -1,0 +1,63 @@
+"""char_ngram_jaccard_pairs: dedup for unsegmented scripts."""
+
+from pyspark.sql import functions as F
+
+from vid_dup_finder_lib_spark.functions.text import (
+    char_shingles_col,
+    shingles_col,
+    tokens_col,
+    normalize_text,
+)
+from vid_dup_finder_lib_spark.operators.dedup import (
+    char_ngram_jaccard_pairs,
+    ngram_jaccard_pairs,
+)
+from vid_dup_finder_lib_spark.operators.signatures import build_signatures
+from vid_dup_finder_lib_spark.config import SigConfig
+
+
+def test_token_path_blind_char_path_sees(spark):
+    # CJK-style unsegmented text: one doc and a lightly-edited copy share
+    # no whitespace tokens beyond "the whole string", but share most
+    # character 5-grams
+    base = "".join(chr(0x4E00 + (i * 37) % 800) for i in range(300))
+    edited = base[:100] + "仟仠" + base[102:]
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "".join(chr(0x5500 + i % 500) for i in range(300)))],
+        "doc_id long, text string",
+    )
+    # token path: each doc is ONE token -> zero 3-token shingles -> blind
+    sigs = build_signatures(docs, SigConfig(seed=1), id_col="doc_id", text_col="text")
+    assert ngram_jaccard_pairs(sigs, 1, 2).count() == 0
+    # char path: the pair is found with high Jaccard
+    rows = char_ngram_jaccard_pairs(docs, 5, 1, 2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id1"], r["id2"]) == (1, 2)
+    assert r["inter_count"] * 10 >= r["union_count"] * 9  # > 0.9
+
+
+def test_char_shingles_semantics(spark):
+    df = spark.createDataFrame([("abcdef",), ("abc",), ("",)], "t string")
+    got = df.select(
+        char_shingles_col(F.col("t"), 5).alias("g")
+    ).collect()
+    assert got[0]["g"] == ["abcde", "bcdef"]
+    assert got[1]["g"] == []  # shorter than n
+    assert got[2]["g"] == []
+    # distinctness: repeated grams collapse
+    rep = spark.createDataFrame([("aaaaaaa",)], "t string").select(
+        char_shingles_col(F.col("t"), 5).alias("g")
+    ).collect()[0]["g"]
+    assert rep == ["aaaaa"]
+
+
+def test_df_valve_and_threshold(spark):
+    docs = spark.createDataFrame(
+        [(i, "xxxxxyyyyyzzzzz") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    # identical docs -> C(4,2) pairs at J=1
+    assert char_ngram_jaccard_pairs(docs, 5, 1, 1).count() == 6
+    # every gram has df 4 > 3 -> all dropped -> no rows
+    assert char_ngram_jaccard_pairs(docs, 5, 1, 1, max_shingle_df=3).count() == 0

@@ -68,3 +68,24 @@ def content_hash_col(text: Column) -> Column:
     """Exact-duplicate key; analog of the blake3 file hash
     (file_hash_filesystem_cache.rs:39-56)."""
     return F.sha2(text, 256)
+
+
+def char_shingles_col(text: Column, n: int) -> Column:
+    """Distinct n-CHARACTER shingles of the normalized text — the shingle
+    unit for unsegmented scripts (zh/ja/th web text carries no spaces, so
+    whitespace tokens collapse to one giant token and every token-shingle
+    operator goes blind; character n-grams are the standard remedy,
+    Broder-style resemblance over char grams).
+
+    Pure codegen: sequence + per-position substr + array_distinct — the
+    char analogue of shingles_col.  Texts shorter than ``n`` chars yield
+    an empty array (same NotEnoughFrames-analog contract)."""
+    norm = normalize_text(text)
+    m = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), m - n + 1),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+    return F.when(m < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
