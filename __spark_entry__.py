@@ -2378,6 +2378,30 @@ def q_char_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_ngram_jaccard_pairs(nospace, n=5, threshold_num=1, threshold_den=2)
 
 
+def q_char_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH SCALE PATH at character granularity: the same MinHash/band/
+    verify machinery as minhash_lsh_pairs, over char-5-gram signatures of
+    the space-stripped corpus (build_signatures(unit='char') — the frozen
+    kernel unchanged, characters pre-exploded by a codegen projection).
+    Equals the exact char-Jaccard oracle iff LSH recall is 1 at this
+    config (J >= 1/2 through 64x2 bands: P(miss) = 0.75^64 ~ 1e-8 per
+    pair) — the oracle-gated proof the WHOLE pipeline serves unsegmented
+    scripts, not just the exact path."""
+    derived = _derived_neardup(_docs(spark, sf_dir))
+    nospace = derived.select(
+        "doc_id", F.regexp_replace(F.col("text"), " ", "").alias("text")
+    )
+    cfg = SigConfig(num_perms=128, lsh_bands=64, seed=42, shingle_k=5)
+    sigs = build_signatures(
+        nospace, cfg, id_col="doc_id", text_col="text", unit="char"
+    ).localCheckpoint(eager=True)
+    pairs, _q = candidate_pairs(sigs, cfg)
+    edges = verified_edges(
+        pairs, sigs, cfg, jaccard_num_den=(1, 2), length_band=False
+    )
+    return edges.select("id1", "id2", "inter_count", "union_count")
+
+
 def q_medoid_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-based survivor choice (dedup.medoid_survivors): per
     near-dup cluster, the member with maximal summed incident edge Jaccard
@@ -2592,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "medoid_survivors": q_medoid_survivors,
         "char_ngram_pairs": q_char_ngram_pairs,
+        "char_lsh_pairs": q_char_lsh_pairs,
         "cluster_size_histogram": q_cluster_size_histogram,
         "clustering_agreement": q_clustering_agreement,
         "source_overlap_matrix": q_source_overlap_matrix,
@@ -4050,6 +4075,28 @@ SELECT lang, 4096::BIGINT AS m_buckets, (4096 - seen)::BIGINT AS n_zero_buckets,
        ((721110::HUGEINT * 4096 * 4096 * (1::HUGEINT << 49))
         // ((denom_seen + (4096 - seen)::HUGEINT * (1::HUGEINT << 49)) * 1000000))::BIGINT AS estimate
 FROM rep
+""",
+        # the LSH path must equal the SAME exact char oracle (recall ~1)
+        "char_lsh_pairs": _SQL_PROLOGUE + r"""
+, cn AS (SELECT doc_id, array_to_string(toks, '') AS s FROM derived),
+csh AS (
+  SELECT doc_id,
+         CASE WHEN length(s) >= 5 THEN
+           list_distinct(list_transform(range(1, length(s) - 3), i -> substr(s, i, 5)))
+         ELSE []::VARCHAR[] END AS gs
+  FROM cn
+),
+cex AS (SELECT doc_id, len(gs)::BIGINT AS sc, unnest(gs) AS g FROM csh WHERE len(gs) > 0),
+craw AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sc AS sc1, b.sc AS sc2,
+         count(*)::BIGINT AS inter_count
+  FROM cex a JOIN cex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id1, id2, inter_count,
+       (sc1 + sc2 - inter_count)::BIGINT AS union_count
+FROM craw
+WHERE inter_count * 2 >= (sc1 + sc2 - inter_count) * 1
 """,
         # char-gram twin: identical 5-char shingles over the space-stripped
         # derived corpus, raw-string join

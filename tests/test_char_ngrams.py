@@ -61,3 +61,44 @@ def test_df_valve_and_threshold(spark):
     assert char_ngram_jaccard_pairs(docs, 5, 1, 1).count() == 6
     # every gram has df 4 > 3 -> all dropped -> no rows
     assert char_ngram_jaccard_pairs(docs, 5, 1, 1, max_shingle_df=3).count() == 0
+
+
+def test_char_unit_signatures_contract(spark):
+    """build_signatures(unit='char'): doclen = character count (spaces are
+    not characters), content_hash = sha2 of the ORIGINAL text (exact-dup
+    identity is unit-independent), and the LSH+verify chain finds the
+    unsegmented near-dup the token unit cannot."""
+    import hashlib
+
+    from vid_dup_finder_lib_spark.operators.lsh import candidate_pairs
+    from vid_dup_finder_lib_spark.operators.verify import verified_edges
+
+    base = "".join(chr(0x4E00 + (i * 37) % 800) for i in range(300))
+    edited = base[:100] + "仟仠" + base[102:]
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    cfg = SigConfig(num_perms=128, lsh_bands=64, seed=42, shingle_k=5)
+    sigs = build_signatures(
+        docs, cfg, id_col="doc_id", text_col="text", unit="char"
+    ).localCheckpoint()
+    rows = {r["id"]: r for r in sigs.collect()}
+    assert rows[1]["doclen"] == 300  # characters, not whitespace tokens
+    assert rows[1]["content_hash"] == hashlib.sha256(base.encode()).hexdigest()
+    assert rows[1]["shingle_count"] > 200  # ~n-k+1 distinct char grams
+
+    pairs, _q = candidate_pairs(sigs, cfg)
+    edges = verified_edges(
+        pairs, sigs, cfg, jaccard_num_den=(1, 2), length_band=False
+    ).collect()
+    assert len(edges) == 1
+    assert (edges[0]["id1"], edges[0]["id2"]) == (1, 2)
+
+    # token unit on the same corpus: one giant token, zero shingles
+    tok_sigs = build_signatures(docs, cfg, id_col="doc_id", text_col="text")
+    assert tok_sigs.where(F.col("shingle_count") > 0).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="signature unit"):
+        build_signatures(docs, cfg, id_col="doc_id", text_col="text", unit="word")
