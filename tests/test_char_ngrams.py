@@ -102,3 +102,24 @@ def test_char_unit_signatures_contract(spark):
 
     with pytest.raises(ValueError, match="signature unit"):
         build_signatures(docs, cfg, id_col="doc_id", text_col="text", unit="word")
+
+
+def test_api_search_char_unit(spark):
+    """api.search(unit='char'): the public one-call search groups an
+    unsegmented near-dup pair that the token unit cannot see at all."""
+    from vid_dup_finder_lib_spark import api
+
+    base = "".join(chr(0x4E00 + (i * 53) % 900) for i in range(400))
+    near = base[:200] + "仡仢代" + base[203:]
+    other = "".join(chr(0x6000 + (i * 11) % 700) for i in range(400))
+    docs = spark.createDataFrame(
+        [("u1", base), ("u2", near), ("u3", other)], "url string, text string"
+    ).localCheckpoint()
+    cfg = SigConfig(num_perms=128, lsh_bands=64, seed=42, shingle_k=5)
+
+    groups_char = api.search(docs, tolerance=0.100, cfg=cfg, grouping="cc", unit="char")
+    got = {r["id"] for r in groups_char.collect()}
+    assert got == {"u1", "u2"}
+
+    groups_tok = api.search(docs, tolerance=0.100, cfg=cfg, grouping="cc")
+    assert groups_tok.count() == 0  # token path blind on spaceless text

@@ -53,9 +53,17 @@ def find_edges(
     text_col: str = "text",
     signatures: DataFrame | None = None,
     materialize: bool = True,
+    unit: str = "token",
 ) -> DataFrame:
-    """All verified near-dup pairs at the tolerance (the M2 minimum slice)."""
-    sigs = signatures if signatures is not None else build_signatures(docs, cfg, id_col, text_col)
+    """All verified near-dup pairs at the tolerance (the M2 minimum slice).
+
+    ``unit="char"`` switches the whole chain to character granularity
+    (build_signatures' unsegmented-script mode) — tolerance radius and
+    length band then operate on character counts, the right domain for
+    spaceless zh/ja/th text."""
+    sigs = signatures if signatures is not None else build_signatures(
+        docs, cfg, id_col, text_col, unit=unit
+    )
     sigs = _materialize(sigs, materialize and signatures is None)
     pairs, _quarantined = candidate_pairs(sigs, cfg)
     pairs = _materialize(pairs, materialize)
@@ -71,6 +79,7 @@ def search(
     text_col: str = "text",
     strip_boilerplate: bool = False,
     boilerplate_min_df: tuple[int, int] = (1, 2),
+    unit: str = "token",
 ) -> DataFrame:
     """Self-search: groups of near-duplicates.
 
@@ -94,7 +103,7 @@ def search(
             F.col("id").alias(id_col), F.col("text_stripped").alias(text_col)
         )
         docs = _materialize(docs, True)
-    edges = find_edges(docs, tol, cfg, id_col, text_col)
+    edges = find_edges(docs, tol, cfg, id_col, text_col, unit=unit)
     if grouping == "cc":
         return cc_groups(edges)
     if grouping == "matchset":
@@ -592,6 +601,7 @@ def dedup_corpus(
     id_col: str = "url",
     text_col: str = "text",
     survivor_rule: str = "min_id",
+    unit: str = "token",
 ) -> DataFrame:
     """The one-call fuzzy dedup a training pipeline wants: search, cluster,
     pick one survivor per cluster, return the KEPT documents (all input
@@ -623,7 +633,9 @@ def dedup_corpus(
     # medoid rule additionally needs per-edge Jaccard mass, attached via a
     # 0-threshold predicate (a no-op filter) — the heavier shingle shuffle
     # is paid ONLY when that rule asks for it
-    sigs = _materialize(build_signatures(docs, cfg, id_col, text_col), True)
+    sigs = _materialize(
+        build_signatures(docs, cfg, id_col, text_col, unit=unit), True
+    )
     pairs, _quarantined = candidate_pairs(sigs, cfg)
     edges = _materialize(
         verified_edges(
