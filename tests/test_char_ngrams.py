@@ -123,3 +123,48 @@ def test_api_search_char_unit(spark):
 
     groups_tok = api.search(docs, tolerance=0.100, cfg=cfg, grouping="cc")
     assert groups_tok.count() == 0  # token path blind on spaceless text
+
+
+def test_job_cli_signature_unit_char(spark, tmp_path):
+    """--signature-unit char: the persistent pipeline (checkpointed
+    signature store + CC) clusters an unsegmented corpus end to end; a
+    unit flip against the same checkpoint refuses (fingerprint)."""
+    import pytest
+
+    from vid_dup_finder_lib_spark.plans import job
+
+    base = "".join(chr(0x4E00 + (i * 53) % 900) for i in range(400))
+    near = base[:200] + "仡仢代" + base[203:]
+    other = "".join(chr(0x6000 + (i * 11) % 700) for i in range(400))
+    import datetime as dt
+
+    ts = dt.datetime(2025, 1, 1)
+    docs = spark.createDataFrame(
+        [("u1", ts, base), ("u2", ts, near), ("u3", ts, other)],
+        "url string, warc_ts timestamp, text string",
+    )
+    docs_path = str(tmp_path / "docs")
+    docs.write.parquet(docs_path)
+    ck = str(tmp_path / "ckpt")
+    out = str(tmp_path / "groups")
+    rc = job.main(
+        ["--docs", docs_path, "--checkpoint", ck, "--tolerance", "0.100",
+         "--signature-unit", "char", "--output", out]
+    )
+    assert rc == 0
+    groups = spark.read.parquet(out)
+    assert {r["id"] for r in groups.collect()} == {"u1", "u2"}
+
+    # unit flip against the cached checkpoint refuses, never mixes
+    with pytest.raises(Exception, match="[Ff]ingerprint"):
+        job.main(
+            ["--docs", docs_path, "--checkpoint", ck, "--tolerance", "0.100",
+             "--output", out]
+        )
+
+    # fold modes refuse char until threaded
+    with pytest.raises(SystemExit):
+        job.main(
+            ["--checkpoint", ck, "--signature-unit", "char",
+             "--incremental-add", docs_path, "--output", out]
+        )

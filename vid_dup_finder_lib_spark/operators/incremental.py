@@ -31,6 +31,7 @@ def plan_refresh(
     id_col: str = "url",
     ts_col: str = "warc_ts",
     reload_errors: bool = False,
+    unit: str = "token",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns (to_compute_docs, keep_signatures, deleted_ids).
 
@@ -92,6 +93,7 @@ def compute_signature_delta(
     text_col: str = "text",
     ts_col: str = "warc_ts",
     reload_errors: bool = False,
+    unit: str = "token",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The refresh delta as three frames: (recomputed, kept, deleted_ids).
 
@@ -104,7 +106,7 @@ def compute_signature_delta(
     to_compute, keep, deleted = plan_refresh(
         docs, cached, id_col, ts_col, reload_errors=reload_errors
     )
-    recomputed = build_signatures(to_compute, cfg, id_col, text_col).join(
+    recomputed = build_signatures(to_compute, cfg, id_col, text_col, unit=unit).join(
         to_compute.select(F.col(id_col).alias("id"), F.col(ts_col).alias("cached_ts")),
         "id",
     )
@@ -119,8 +121,14 @@ def refresh_signatures(
     text_col: str = "text",
     ts_col: str = "warc_ts",
     reload_errors: bool = False,
+    unit: str = "token",
 ) -> DataFrame:
     """New signature table = recomputed(changed+new) ∪ kept(unchanged).
+
+    ``unit`` is the signature granularity (token | char, see
+    build_signatures); the CALLER owns consistency between runs — the
+    pipeline puts it in the checkpoint fingerprint, so a unit flip against
+    cached signatures refuses instead of silently mixing granularities.
 
     Output carries ``cached_ts`` so the next round can diff against it.
     Errors remain cached values and are NOT retried unless the doc row
@@ -129,12 +137,13 @@ def refresh_signatures(
     still-live error row to the recompute set.
     """
     if cached is None:
-        fresh = build_signatures(docs, cfg, id_col, text_col).join(
+        fresh = build_signatures(docs, cfg, id_col, text_col, unit=unit).join(
             docs.select(F.col(id_col).alias("id"), F.col(ts_col).alias("cached_ts")), "id"
         )
         return _fresh_cols(fresh)
 
     recomputed, keep, _deleted = compute_signature_delta(
-        docs, cached, cfg, id_col, text_col, ts_col, reload_errors=reload_errors
+        docs, cached, cfg, id_col, text_col, ts_col,
+        reload_errors=reload_errors, unit=unit,
     )
     return recomputed.unionByName(keep)

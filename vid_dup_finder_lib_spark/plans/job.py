@@ -49,6 +49,11 @@ def _flag_extras(args) -> dict:
             else {}
         ),
         **({"extract_html": True} if args.extract_html else {}),
+        **(
+            {"signature_unit": args.signature_unit}
+            if args.signature_unit != "token"
+            else {}
+        ),
     }
 
 
@@ -206,6 +211,15 @@ def main(argv: list[str] | None = None) -> int:
         help="token budget per emitted shard (whitespace tokens; default 1M)",
     )
     p.add_argument(
+        "--signature-unit", choices=["token", "char"], default="token",
+        dest="signature_unit",
+        help="signature granularity: whitespace tokens (default) or "
+             "characters (the unsegmented-script mode, "
+             "build_signatures(unit='char')); joins the checkpoint "
+             "fingerprint when char, so a unit flip against an existing "
+             "checkpoint refuses",
+    )
+    p.add_argument(
         "--survivor-rule", choices=["min-id", "medoid"], default="min-id",
         dest="survivor_rule",
         help="--emit-corpus survivor choice: smallest member id (default) "
@@ -239,6 +253,14 @@ def main(argv: list[str] | None = None) -> int:
         p.error(
             "--merge-with is one fold: run add/delete folds as separate "
             "invocations (order matters for labels)"
+        )
+    if args.signature_unit != "token" and (
+        args.incremental_add or args.incremental_delete or args.merge_with
+    ):
+        p.error(
+            "--signature-unit char is not yet threaded through the fold "
+            "modes' batch-side signature builds — run the full pipeline "
+            "(which is O(delta) via the store) instead"
         )
     if args.emit_corpus and (
         args.incremental_add or args.incremental_delete or args.merge_with
@@ -605,6 +627,7 @@ def main(argv: list[str] | None = None) -> int:
         reload_errors=args.reload_errs,
         extract_html=args.extract_html,
         html_col=args.html_col,
+        signature_unit=args.signature_unit,
     )
     if args.output:
         if args.output_format == "json":

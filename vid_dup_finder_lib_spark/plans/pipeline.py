@@ -68,6 +68,7 @@ def run_dedup_pipeline(
     signature_buckets: int = 64,
     extract_html: bool = False,
     html_col: str = "html",
+    signature_unit: str = "token",
 ) -> PipelineResult:
     """Resumable end-to-end run.  Re-invoking with the same checkpoint_root
     and config resumes after the last completed stage; with changed config
@@ -124,6 +125,11 @@ def run_dedup_pipeline(
         extra_fp["decontam_ngram"] = decontam_ngram
     if extract_html:
         extra_fp["extract_html"] = True
+    if signature_unit != "token":
+        # fingerprint key only when non-default, preserving existing
+        # token-unit checkpoints; a unit flip against a cached store then
+        # REFUSES instead of silently mixing granularities
+        extra_fp["signature_unit"] = signature_unit
     store = CheckpointStore(checkpoint_root, cfg, extra_fingerprint=extra_fp)
     tol = cfg.default_tolerance if tolerance is None else tolerance
 
@@ -298,13 +304,15 @@ def run_dedup_pipeline(
     if not force and sigstore.exists():
         cached = sigstore.read(spark)
         recomputed, _kept, deleted = compute_signature_delta(
-            docs, cached, cfg, id_col, text_col, ts_col, reload_errors=reload_errors
+            docs, cached, cfg, id_col, text_col, ts_col,
+            reload_errors=reload_errors, unit=signature_unit,
         )
         sigstore.upsert(recomputed, deleted)
     else:
         sigstore.write_full(
             refresh_signatures(
-                docs, None, cfg, id_col, text_col, ts_col, reload_errors=reload_errors
+                docs, None, cfg, id_col, text_col, ts_col,
+                reload_errors=reload_errors, unit=signature_unit,
             )
         )
     sigs = sigstore.read(spark)
