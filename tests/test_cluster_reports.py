@@ -103,6 +103,61 @@ def test_agreement_is_symmetric_under_swap(spark):
     assert ab["recall_ppm"] == ba["precision_ppm"]
 
 
+def test_agreement_ppm_floor_is_exact_near_one(spark):
+    """Pin the ppm floor against Spark's decimal-division HALF_UP rounding.
+
+    Construction: pairs_b = C(2000,2) + 1001*C(2,2) = 1_999_000 + 1_001 =
+    2_000_001 and pairs_both = 2, so the true precision ratio is
+    2_000_000/2_000_001 ppm — fractional part 0.9999995..., within 5e-7 of
+    1.  A decimal(38,6) division rounds that to 1.000000 BEFORE floor and
+    reports 1 ppm; the exact integer `div` must report 0.
+    """
+    big = [(i, 0) for i in range(2000)]  # C(2000,2) = 1_999_000 pairs
+    twos = [
+        (2000 + 2 * i + k, 1000 + i) for i in range(1001) for k in (0, 1)
+    ]  # 1001 clusters of size 2 -> 1_001 pairs
+    b = _assign(spark, big + twos)
+    # A co-clusters exactly two of B's size-2 clusters; everything else is
+    # absent from A (singleton there) -> pairs_both = 2, pairs_a = 2
+    a = _assign(spark, [(2000, 1), (2001, 1), (2002, 2), (2003, 2)])
+    row = clustering_agreement(a, b).collect()[0]
+    assert row["pairs_b"] == Decimal(2_000_001)
+    assert row["pairs_both"] == Decimal(2)
+    # precision = pairs_both div pairs_b = floor(2e6/2_000_001), NOT the
+    # HALF_UP-rounded 1
+    assert row["precision_ppm"] == 0
+    assert row["recall_ppm"] == 1_000_000  # pairs_both div pairs_a = 2e6/2
+
+
+def test_agreement_string_url_ids(spark):
+    """Native string url ids must key the contingency directly: a long cast
+    would null every id, collapsing all docs into one cell and silently
+    reporting garbage (ADVICE r4)."""
+    a = spark.createDataFrame(
+        [
+            ("http://a.example/1", "http://a.example/1"),
+            ("http://a.example/2", "http://a.example/1"),
+            ("http://b.example/9", "http://b.example/9"),
+        ],
+        "id string, component string",
+    )
+    b = spark.createDataFrame(
+        [
+            ("http://a.example/1", "k1"),
+            ("http://a.example/2", "k1"),
+            ("http://b.example/9", "k2"),
+        ],
+        "id string, component string",
+    )
+    row = clustering_agreement(a, b).collect()[0]
+    assert row["n_docs"] == 3
+    assert row["pairs_a"] == Decimal(1)
+    assert row["pairs_b"] == Decimal(1)
+    assert row["pairs_both"] == Decimal(1)
+    assert row["precision_ppm"] == 1_000_000
+    assert row["recall_ppm"] == 1_000_000
+
+
 def test_source_overlap_matrix_semantics(spark):
     docs = spark.createDataFrame(
         [

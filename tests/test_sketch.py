@@ -27,6 +27,17 @@ def _items(spark, grp, n, offset=0, parts=4):
     )
 
 
+def test_frozen_alpha_constants_match_formula():
+    # the table is frozen (cross-engine determinism) but must equal the
+    # stated formula — a transposed digit (718327 vs 718273, ADVICE r4)
+    # silently biases every p=8 estimate
+    from vid_dup_finder_lib_spark.operators.sketch import _ALPHA_E6
+
+    for p, alpha in _ALPHA_E6.items():
+        m = 1 << p
+        assert alpha == round(0.7213 / (1 + 1.079 / m) * 1e6), p
+
+
 def test_estimate_accuracy_and_zero_buckets(spark):
     # raw-estimator regime (n >> 5m/2 = 10240): sigma = 1.04/sqrt(4096)
     # ~ 1.6%; assert within 5% (3 sigma).  Small-n goes through the

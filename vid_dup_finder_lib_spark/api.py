@@ -305,6 +305,17 @@ def search_delete(
     a from-scratch search over the remaining corpus (test-pinned, including
     bridge-doc splits and min-label deletions).
 
+    Quarantine caveat: that argument assumes the original run VERIFIED
+    every candidate pair.  Under a quarantine regime (hot LSH buckets
+    sampled/quarantined, operators/lsh.py), re-searching only the affected
+    subset shrinks those buckets, so a pair the original run quarantined
+    could now verify and bridge two previously-distinct components —
+    deletion would then *merge*.  The re-search edges are therefore
+    filtered to pairs that shared a previous component, which restores the
+    never-merges invariant structurally; the price is that a
+    quarantine-lost edge stays lost until the next full run (the same
+    contract ``search_merge_many`` documents for its identity-merge path).
+
     Scale shape: the affected survivor set is O(deleted · cluster size);
     its signatures come from a BUCKET-PRUNED store read
     (``sigstore.read_for_ids`` — only the partitions those ids hash into
@@ -335,12 +346,12 @@ def search_delete(
     affected = (
         prev.join(dels, "id", "left_semi").select("component").distinct()
     )
-    survivors = (
+    surv_assign = (
         prev.join(affected, "component", "left_semi")
         .join(dels, "id", "left_anti")
-        .select("id")
         .localCheckpoint(eager=True)
-    )
+    )  # (id, component) — O(affected), small
+    survivors = surv_assign.select("id")
     sigs_sub = _materialize(sigstore.read_for_ids(survivors), True)
     # fail fast on an inconsistent store: a survivor with no stored
     # signature would silently lose all its edges and drop out of its
@@ -357,6 +368,29 @@ def search_delete(
     pairs, _q = candidate_pairs(sigs_sub, cfg)
     edges = verified_edges(pairs, sigs_sub, cfg, tolerance=tol).select(
         "id1", "id2"
+    )
+    # quarantine guard (docstring): keep only edges whose ends shared a
+    # previous component, so a subset-re-search edge the original run
+    # quarantined can never MERGE two previously-distinct components
+    edges = (
+        edges.join(
+            F.broadcast(
+                surv_assign.select(
+                    F.col("id").alias("id1"), F.col("component").alias("__c1")
+                )
+            ),
+            "id1",
+        )
+        .join(
+            F.broadcast(
+                surv_assign.select(
+                    F.col("id").alias("id2"), F.col("component").alias("__c2")
+                )
+            ),
+            "id2",
+        )
+        .where(F.col("__c1") == F.col("__c2"))
+        .select("id1", "id2")
     )
     assignment = delete_components(
         prev, dels, edges, keep_isolated=keep_isolated

@@ -456,9 +456,19 @@ def clustering_agreement(
 
     so pair-precision of B against A = ``pairs_both / pairs_b`` and
     pair-recall = ``pairs_both / pairs_a``, emitted as integer ppm via
-    decimal(38,0) floor division (the corpus_mix_report discipline: the
-    raw C(size,2) sums are kept in decimal(38,0) because a single 10^7-doc
-    cluster already overflows int64 pairs).
+    EXACT integer floor division (SQL ``div``): Spark's decimal ``/``
+    adjusts to decimal(38,6) and rounds HALF_UP *before* any ``floor``
+    sees the value, so a true ratio whose fractional part lands within
+    5e-7 of 1 would come out 1 ppm high — ``div`` has no intermediate
+    rounding step under any decimal conf.  The raw C(size,2) sums are
+    kept in decimal(38,0) because a single 10^7-doc cluster already
+    overflows int64 pairs.
+
+    Ids and component labels are keyed as STRINGS (the library's native
+    doc ids are urls): a long cast would null every url id and collapse
+    the whole contingency into one cell.  Real labels get a ``c:`` prefix
+    and one-side-missing singletons ``s:<id>`` so the two key spaces can
+    never clash.
 
     Returns ONE row: ``(n_docs, pairs_a, pairs_b, pairs_both,
     precision_ppm, recall_ppm)`` with the pair sums as decimal(38,0).
@@ -468,20 +478,27 @@ def clustering_agreement(
     explosion.
     """
     a = assign_a.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(component_col).cast("long").alias("ca"),
+        F.col(id_col).cast("string").alias("id"),
+        F.col(component_col).cast("string").alias("ca"),
     )
     b = assign_b.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(component_col).cast("long").alias("cb"),
+        F.col(id_col).cast("string").alias("id"),
+        F.col(component_col).cast("string").alias("cb"),
     )
     # full outer: a doc clustered on one side only is a singleton on the
-    # other — encode that singleton as the doc's own (negative-keyed) cell
-    # so it contributes 0 to every C(n,2) without inventing label clashes.
+    # other — encode that singleton as the doc's own ("s:"-prefixed) cell
+    # so it contributes 0 to every C(n,2) without inventing label clashes
+    # (concat of a null label is null, so coalesce falls through).
     j = a.join(b, "id", "full_outer").select(
         "id",
-        F.coalesce(F.col("ca"), -F.col("id") - 1).alias("ca"),
-        F.coalesce(F.col("cb"), -F.col("id") - 1).alias("cb"),
+        F.coalesce(
+            F.concat(F.lit("c:"), F.col("ca")),
+            F.concat(F.lit("s:"), F.col("id")),
+        ).alias("ca"),
+        F.coalesce(
+            F.concat(F.lit("c:"), F.col("cb")),
+            F.concat(F.lit("s:"), F.col("id")),
+        ).alias("cb"),
     )
     j = j.localCheckpoint(eager=True)
 
@@ -504,27 +521,22 @@ def clustering_agreement(
     pa = _pair_sum(j, ["ca"], "pairs_a")
     pb = _pair_sum(j, ["cb"], "pairs_b")
     pboth = _pair_sum(j, ["ca", "cb"], "pairs_both")
-    one = F.lit(1).cast("decimal(38,0)")
-    return (
+    joined = (
         n_docs.crossJoin(F.broadcast(pa))
         .crossJoin(F.broadcast(pb))
         .crossJoin(F.broadcast(pboth))
-        .select(
-            "n_docs",
-            F.col("pairs_a").cast("decimal(38,0)").alias("pairs_a"),
-            F.col("pairs_b").cast("decimal(38,0)").alias("pairs_b"),
-            F.col("pairs_both").cast("decimal(38,0)").alias("pairs_both"),
-            F.floor(
-                F.col("pairs_both") * F.lit(1_000_000)
-                / F.greatest(F.col("pairs_b"), one)
-            )
-            .cast("long")
-            .alias("precision_ppm"),
-            F.floor(
-                F.col("pairs_both") * F.lit(1_000_000)
-                / F.greatest(F.col("pairs_a"), one)
-            )
-            .cast("long")
-            .alias("recall_ppm"),
-        )
+    )
+    # SQL `div` = exact integral division (matches DuckDB `//`): no
+    # decimal(38,6) HALF_UP rounding step can perturb the floor.
+    ppm = (
+        "(pairs_both * 1000000) div "
+        "greatest({d}, cast(1 as decimal(38,0)))"
+    )
+    return joined.select(
+        "n_docs",
+        F.col("pairs_a").cast("decimal(38,0)").alias("pairs_a"),
+        F.col("pairs_b").cast("decimal(38,0)").alias("pairs_b"),
+        F.col("pairs_both").cast("decimal(38,0)").alias("pairs_both"),
+        F.expr(ppm.format(d="pairs_b")).cast("long").alias("precision_ppm"),
+        F.expr(ppm.format(d="pairs_a")).cast("long").alias("recall_ppm"),
     )

@@ -31,9 +31,13 @@ def plan_refresh(
     id_col: str = "url",
     ts_col: str = "warc_ts",
     reload_errors: bool = False,
-    unit: str = "token",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns (to_compute_docs, keep_signatures, deleted_ids).
+
+    The plan is granularity-agnostic — it diffs only ids and timestamps —
+    so it deliberately takes no ``unit``: the signature granularity enters
+    at ``compute_signature_delta``/``refresh_signatures``, which run the
+    kernel, and in the checkpoint fingerprint, which refuses a unit flip.
 
     ``cached`` must carry (id, cached_ts) alongside its signature columns.
     A row needs recompute when it is new or its timestamp drifted more than

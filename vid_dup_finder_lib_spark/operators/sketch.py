@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: frozen alpha_m bias constants (ppm), m = 2^p: round(0.7213/(1+1.079/m)*1e6)
-_ALPHA_E6 = {8: 718327, 12: 721110, 16: 721288}
+_ALPHA_E6 = {8: 718273, 12: 721110, 16: 721288}
 
 _MAX_RANK = 49  # rank word is 48 bits; rho in [1, 49]
 

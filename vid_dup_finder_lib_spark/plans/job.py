@@ -482,16 +482,12 @@ def main(argv: list[str] | None = None) -> int:
             from vid_dup_finder_lib_spark.extraction import extract_text_col
 
             if args.text_col in new_docs.columns:
+                # eqNullSafe: plain == is NULL for null-vs-non-null rows
+                # and where() drops them, silently passing the gate
                 bad = new_docs.withColumn(
                     "__ext", extract_text_col(F.col(args.html_col))
                 ).where(
-                    ~(
-                        (F.col(args.text_col) == F.col("__ext"))
-                        | (
-                            F.col(args.text_col).isNull()
-                            & F.col("__ext").isNull()
-                        )
-                    )
+                    ~F.col(args.text_col).eqNullSafe(F.col("__ext"))
                 ).count()
                 if bad:
                     raise SystemExit(

@@ -153,11 +153,11 @@ def run_dedup_pipeline(
         def _extracted():
             if has_text:
                 ext = docs.withColumn("__ext", extract_text_col(F.col(html_col)))
+                # eqNullSafe: a plain == is NULL when exactly one side is
+                # null, and where() drops NULL rows — a stale null text
+                # with extractable html would silently pass the gate
                 bad = ext.where(
-                    ~(
-                        (F.col(text_col) == F.col("__ext"))
-                        | (F.col(text_col).isNull() & F.col("__ext").isNull())
-                    )
+                    ~F.col(text_col).eqNullSafe(F.col("__ext"))
                 ).count()
                 if bad:
                     raise ValueError(
