@@ -2591,7 +2591,58 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so never-driver-tested queries lead (VERDICT r4 #2): the
+    driver sweep caps at ~50 entries, so the front of the dict is the 21
+    queries with no prior CORRECTNESS row, then the driver-red
+    clustering_agreement, then r3-only rows, then r4-green rows."""
     return {
+        # --- never driver-covered (r1-r4) ---
+        "streamed_event_rollup": q_streamed_event_rollup,
+        "streamed_sessions": q_streamed_sessions,
+        "streamed_dedup": q_streamed_dedup,
+        "streamed_neardup": q_streamed_neardup,
+        "pair_line_diff": q_pair_line_diff,
+        "containment_pairs": q_containment_pairs,
+        "doc_novelty": q_doc_novelty,
+        "frequent_line_topk": q_frequent_line_topk,
+        "repeated_line_strip": q_repeated_line_strip,
+        "paragraph_dedup_rewrite": q_paragraph_dedup_rewrite,
+        "bloom_incremental_dedup": q_bloom_incremental_dedup,
+        "domain_dup_stats": q_domain_dup_stats,
+        "gopher_repetition": q_gopher_repetition,
+        "contamination_scan": q_contamination_scan,
+        "shard_packing": q_shard_packing,
+        "benchmark_decontam": q_benchmark_decontam,
+        "eval_coverage": q_eval_coverage,
+        "top_bigram_stats": q_top_bigram_stats,
+        "image_ahash_pairs": q_image_ahash_pairs,
+        "audio_fp_pairs": q_audio_fp_pairs,
+        "semantic_dedup": q_semantic_dedup,
+        # --- driver-red in r4 (fixed: exact div) ---
+        "clustering_agreement": q_clustering_agreement,
+        # --- r3-covered, absent from the r4 sweep ---
+        "asof_view_before_click": q_asof_view_before_click,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "hashed_bow_features": q_hashed_bow_features,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "tpch_top_orders": q_tpch_top_orders,
+        "tpch_regional_revenue": q_tpch_regional_revenue,
+        "sessionization": q_sessionization,
+        "range_click_near_error": q_range_click_near_error,
+        "event_window_rollup": q_event_window_rollup,
+        "simhash_pairs": q_simhash_pairs,
+        "substring_pairs": q_substring_pairs,
+        "substring_winnowed_pairs": q_substring_winnowed_pairs,
+        "boilerplate_strip": q_boilerplate_strip,
+        "embedding_neardup": q_embedding_neardup,
+        "validation_conflicts": q_validation_conflicts,
+        "exact_dedup_survivors": q_exact_dedup_survivors,
+        "multimodal_meta": q_multimodal_meta,
+        "prefix_filter": q_prefix_filter,
+        "pair_expansion": q_pair_expansion,
+        "mode_token": q_mode_token,
+        "sampled_signatures": q_sampled_signatures,
+        # --- r4 driver-green ---
         "signatures_basic": q_signatures_basic,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -2618,7 +2669,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_ngram_pairs": q_char_ngram_pairs,
         "char_lsh_pairs": q_char_lsh_pairs,
         "cluster_size_histogram": q_cluster_size_histogram,
-        "clustering_agreement": q_clustering_agreement,
         "source_overlap_matrix": q_source_overlap_matrix,
         "cluster_members": q_cluster_members,
         "cluster_purity": q_cluster_purity,
@@ -2642,48 +2692,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
-        "asof_view_before_click": q_asof_view_before_click,
-        "url_canonical_dedup": q_url_canonical_dedup,
-        "hashed_bow_features": q_hashed_bow_features,
-        "tpch_pricing_summary": q_tpch_pricing_summary,
-        "tpch_top_orders": q_tpch_top_orders,
-        "tpch_regional_revenue": q_tpch_regional_revenue,
-        "sessionization": q_sessionization,
-        "range_click_near_error": q_range_click_near_error,
-        "event_window_rollup": q_event_window_rollup,
-        "streamed_event_rollup": q_streamed_event_rollup,
-        "streamed_sessions": q_streamed_sessions,
-        "streamed_dedup": q_streamed_dedup,
-        "streamed_neardup": q_streamed_neardup,
-        "pair_line_diff": q_pair_line_diff,
-        "containment_pairs": q_containment_pairs,
-        "doc_novelty": q_doc_novelty,
-        "frequent_line_topk": q_frequent_line_topk,
-        "repeated_line_strip": q_repeated_line_strip,
-        "paragraph_dedup_rewrite": q_paragraph_dedup_rewrite,
-        "bloom_incremental_dedup": q_bloom_incremental_dedup,
-        "domain_dup_stats": q_domain_dup_stats,
-        "gopher_repetition": q_gopher_repetition,
-        "contamination_scan": q_contamination_scan,
-        "shard_packing": q_shard_packing,
-        "benchmark_decontam": q_benchmark_decontam,
-        "eval_coverage": q_eval_coverage,
-        "top_bigram_stats": q_top_bigram_stats,
-        "image_ahash_pairs": q_image_ahash_pairs,
-        "audio_fp_pairs": q_audio_fp_pairs,
-        "semantic_dedup": q_semantic_dedup,
-        "simhash_pairs": q_simhash_pairs,
-        "substring_pairs": q_substring_pairs,
-        "substring_winnowed_pairs": q_substring_winnowed_pairs,
-        "boilerplate_strip": q_boilerplate_strip,
-        "embedding_neardup": q_embedding_neardup,
-        "validation_conflicts": q_validation_conflicts,
-        "exact_dedup_survivors": q_exact_dedup_survivors,
-        "multimodal_meta": q_multimodal_meta,
-        "prefix_filter": q_prefix_filter,
-        "pair_expansion": q_pair_expansion,
-        "mode_token": q_mode_token,
-        "sampled_signatures": q_sampled_signatures,
     }
 
 

@@ -11,6 +11,8 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import os
+import re
 import sys
 import time
 
@@ -77,7 +79,18 @@ def main() -> int:
             print(f"  {name:28s} rows={len(srows):6d} (rows-only, no oracle) [{t_spark:.1f}s]")
             continue
         t0 = time.time()
-        res = con.execute(oracles[name])
+        # fixture oracles pin the driver's sf0.01 fixture path; when run
+        # against another sf dir, swap in that dir's fixture if it exists
+        # (otherwise a sf0.001 run compares against the WRONG fixture and
+        # reports a false FAIL)
+        sql = oracles[name]
+        sfname = os.path.basename(os.path.normpath(sf_dir))
+        if sfname != "sf0.01" and "_sf0.01.parquet" in sql:
+            cand = sql.replace("_sf0.01.parquet", f"_{sfname}.parquet")
+            fix = re.search(r"'(/[^']*_%s\.parquet)'" % re.escape(sfname), cand)
+            if fix and os.path.exists(fix.group(1)):
+                sql = cand
+        res = con.execute(sql)
         ocols = [d[0] for d in res.description]
         orows = res.fetchall()
         t_duck = time.time() - t0
