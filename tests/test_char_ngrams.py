@@ -63,6 +63,32 @@ def test_df_valve_and_threshold(spark):
     assert char_ngram_jaccard_pairs(docs, 5, 1, 1, max_shingle_df=3).count() == 0
 
 
+def test_drop_report_enumerates_valved_grams(spark):
+    """char_gram_drop_report is the no-silent-caps twin of the valve: it
+    returns exactly the (gram hash, df) rows the max_shingle_df anti-join
+    drops, so a valved run can report its recall trade instead of hiding
+    it.  Corpus: one gram in all 4 docs (dropped at df>3), plus per-doc
+    unique grams (kept)."""
+    from vid_dup_finder_lib_spark.operators.dedup import char_gram_drop_report
+
+    docs = spark.createDataFrame(
+        [(i, "sharedgram" + chr(97 + i) * 6) for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    rep = char_gram_drop_report(docs, 5, max_shingle_df=3).collect()
+    # exactly the 6 grams of "sharedgram" (10 chars -> 6 5-grams), df=4 each
+    assert len(rep) == 6
+    assert all(r["df"] == 4 for r in rep)
+    # valve semantics consistency: with the hot grams dropped the docs
+    # share nothing, so no pair can reach J >= threshold over the FULL
+    # (pre-valve) union
+    assert (
+        char_ngram_jaccard_pairs(docs, 5, 1, 2, max_shingle_df=3).count() == 0
+    )
+    # and without the valve every pair shares the 6 hot grams
+    assert char_ngram_jaccard_pairs(docs, 5, 1, 100).count() == 6
+
+
 def test_char_unit_signatures_contract(spark):
     """build_signatures(unit='char'): doclen = character count (spaces are
     not characters), content_hash = sha2 of the ORIGINAL text (exact-dup
