@@ -106,3 +106,91 @@ def test_incremental_exact_dedup_end_to_end(spark):
     assert len(out) == 100
     assert all(out[1000 + i] for i in range(50))
     assert not any(out[2000 + i] for i in range(50))
+
+
+def test_join_probe_equals_broadcast_probe(spark, keyed):
+    """The distributed register-table probe must agree bit-for-bit with the
+    dense broadcast probe — members AND non-members (the positions come
+    from the same frozen kernel, so any disagreement is a join-plan bug)."""
+    from vid_dup_finder_lib_spark.operators.membership import (
+        bloom_candidates_join,
+        bloom_words,
+    )
+
+    ids = keyed.withColumn("rid", F.monotonically_increasing_id()).localCheckpoint()
+    other = spark.createDataFrame(
+        [(10_000 + i, i * 7_919 + 3) for i in range(2000)], "rid long, key long"
+    )
+    probe_set = ids.select("rid", "key").unionByName(other).localCheckpoint()
+    dense = bloom_build(keyed, "key", M_BITS, K)
+    words = bloom_words(keyed, "key", M_BITS, K)
+    a = {
+        r["rid"]: r["bloom_hit"]
+        for r in bloom_candidates(probe_set, "key", dense, M_BITS, K).collect()
+    }
+    b = {
+        r["rid"]: r["bloom_hit"]
+        for r in bloom_candidates_join(
+            probe_set, "key", words, M_BITS, K, id_col="rid"
+        ).collect()
+    }
+    assert a == b and len(a) == 4000
+
+
+def test_join_probe_at_driver_hostile_m_bits(spark):
+    """m_bits = 2^40 (128 GiB dense — impossible on any driver) must work
+    on the register-table path: the sparse table holds only O(n*k) words
+    and the probe never materializes anything O(m_bits)."""
+    from vid_dup_finder_lib_spark.operators.membership import (
+        bloom_candidates_join,
+        bloom_words,
+    )
+
+    m = 1 << 40
+    corpus = spark.createDataFrame(
+        [(i, i * 2_654_435_761 - (1 << 40)) for i in range(500)], "rid long, key long"
+    ).localCheckpoint()
+    words = bloom_words(corpus, "key", m, K)
+    assert words.count() <= 500 * K  # sparse: at most n*k set words
+    hits = bloom_candidates_join(corpus, "key", words, m, K, id_col="rid")
+    assert hits.where(~F.col("bloom_hit")).count() == 0  # no false negatives
+    # at 2^40 bits / 500 keys the fpr is ~0: a disjoint probe set misses
+    other = spark.createDataFrame(
+        [(10_000 + i, i * 7_919 + 3) for i in range(500)], "rid long, key long"
+    )
+    assert (
+        bloom_candidates_join(other, "key", words, m, K, id_col="rid")
+        .where(F.col("bloom_hit"))
+        .count()
+        == 0
+    )
+
+
+def test_bloom_build_refuses_driver_scale(spark, keyed):
+    with pytest.raises(ValueError, match="distributed register-table"):
+        bloom_build(keyed, "key", 1 << 40, K)
+
+
+def test_incremental_dedup_join_mode_identical(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} body") for i in range(100)],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(1000 + i, f"corpus document number {i} body") for i in range(50)]
+        + [(2000 + i, f"brand new page {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    a = {
+        r["doc_id"]: r["is_dup"]
+        for r in incremental_exact_dedup(
+            incoming, corpus, m_bits=1 << 12, k=5, mode="broadcast"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["is_dup"]
+        for r in incremental_exact_dedup(
+            incoming, corpus, m_bits=1 << 12, k=5, mode="join"
+        ).collect()
+    }
+    assert a == b and len(a) == 100
