@@ -2424,6 +2424,48 @@ def q_char_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select("id1", "id2", "inter_count", "union_count")
 
 
+def q_char_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-granularity INCREMENTAL clustering — the fold-mode gate for
+    ``unit='char'`` (X78 closure): the char-LSH verified edges of
+    char_lsh_pairs are split into an 'old run' (even id1) and a 'new
+    batch' (odd id1); the old half is clustered, then the new edges fold
+    in via ``incremental_components`` — the same algebra
+    ``api.search_incremental(unit='char')`` runs after its batch-side
+    char signature build (the store-backed API path is pytest-gated,
+    tests/test_search_incremental.py).  Star-contraction identity + LSH
+    recall ~1 at this config make the oracle the from-scratch CC over the
+    exact char-Jaccard pairs."""
+    from vid_dup_finder_lib_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    derived = _derived_neardup(_docs(spark, sf_dir))
+    nospace = derived.select(
+        "doc_id", F.regexp_replace(F.col("text"), " ", "").alias("text")
+    )
+    cfg = SigConfig(num_perms=128, lsh_bands=64, seed=42, shingle_k=5)
+    sigs = build_signatures(
+        nospace, cfg, id_col="doc_id", text_col="text", unit="char"
+    ).localCheckpoint(eager=True)
+    pairs, _q = candidate_pairs(sigs, cfg)
+    edges = (
+        verified_edges(pairs, sigs, cfg, jaccard_num_den=(1, 2), length_band=False)
+        .select(
+            F.col("id1").cast("long").alias("id1"),
+            F.col("id2").cast("long").alias("id2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    old = edges.where(F.col("id1") % 2 == 0)
+    new = edges.where(F.col("id1") % 2 != 0)
+    prev = connected_components(old).select("id", "component")
+    return incremental_components(prev, new).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+
+
 def q_medoid_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-based survivor choice (dedup.medoid_survivors): per
     near-dup cluster, the member with maximal summed incident edge Jaccard
@@ -2640,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash_pairs": q_image_ahash_pairs,
         "audio_fp_pairs": q_audio_fp_pairs,
         "semantic_dedup": q_semantic_dedup,
+        "char_incremental_cc": q_char_incremental_cc,
         # --- driver-red in r4 (fixed: exact div) ---
         "clustering_agreement": q_clustering_agreement,
         # --- r3-covered, absent from the r4 sweep ---
@@ -4127,6 +4170,38 @@ SELECT id1, id2, inter_count,
        (sc1 + sc2 - inter_count)::BIGINT AS union_count
 FROM craw
 WHERE inter_count * 2 >= (sc1 + sc2 - inter_count) * 1
+""",
+        # char incremental-fold twin: the incremental path must equal the
+        # from-scratch CC over the exact char-Jaccard pairs (star-
+        # contraction identity; char analogue of incremental_cc's oracle)
+        "char_incremental_cc": prologue_r + r"""
+, cn AS (SELECT doc_id, array_to_string(toks, '') AS s FROM derived),
+csh AS (
+  SELECT doc_id,
+         CASE WHEN length(s) >= 5 THEN
+           list_distinct(list_transform(range(1, length(s) - 3), i -> substr(s, i, 5)))
+         ELSE []::VARCHAR[] END AS gs
+  FROM cn
+),
+cex AS (SELECT doc_id, len(gs)::BIGINT AS sc, unnest(gs) AS g FROM csh WHERE len(gs) > 0),
+craw AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, a.sc AS sc1, b.sc AS sc2,
+         count(*)::BIGINT AS inter_count
+  FROM cex a JOIN cex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+cpairs AS (
+  SELECT id1, id2 FROM craw
+  WHERE inter_count * 2 >= (sc1 + sc2 - inter_count) * 1
+),
+csym AS (SELECT id1 AS a, id2 AS b FROM cpairs UNION SELECT id2, id1 FROM cpairs),
+cwalk(id, r) AS (
+  SELECT a, a FROM csym
+  UNION
+  SELECT w.id, s.b FROM cwalk w JOIN csym s ON w.r = s.a
+),
+ccc AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM cwalk GROUP BY id)
+SELECT doc_id, cluster_id FROM ccc
 """,
         # char-gram twin: identical 5-char shingles over the space-stripped
         # derived corpus, raw-string join

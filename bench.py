@@ -194,6 +194,23 @@ def main() -> None:
     }
     spark.stop()
     print(json.dumps(out))
+    # re-emit the headline as a COMPACT final line: the driver's capture
+    # keeps the tail of stdout, and the full record above grew big enough
+    # (60+ per-query extras) that round 4's BENCH file lost the leading
+    # "value" field to truncation.  This line carries every field the
+    # driver contract requires and is short enough to never truncate;
+    # a last-line parser gets the complete headline, a whole-output
+    # parser still has the detail record above.
+    print(json.dumps({
+        "metric": out["metric"],
+        "value": out["value"],
+        "value_v2": out["value_v2"],
+        "unit": out["unit"],
+        "queries": min_timings,
+        "sf": sf,
+        "cpus": cpus,
+        "pipeline_docs_per_sec": best_rate,
+    }))
 
 
 if __name__ == "__main__":

@@ -188,9 +188,27 @@ def test_job_cli_signature_unit_char(spark, tmp_path):
              "--output", out]
         )
 
-    # fold modes refuse char until threaded
-    with pytest.raises(SystemExit):
+    # fold modes run at char granularity: fold a NEW unsegmented near-dup
+    # of u1 (same-position 2-char edit) and it must join u1/u2's cluster
+    batch = spark.createDataFrame(
+        [("u4", ts, base[:100] + "丏丒" + base[102:])],
+        "url string, warc_ts timestamp, text string",
+    )
+    batch_path = str(tmp_path / "batch")
+    batch.write.parquet(batch_path)
+    out2 = str(tmp_path / "folded")
+    rc = job.main(
+        ["--checkpoint", ck, "--signature-unit", "char", "--tolerance",
+         "0.100", "--incremental-add", batch_path, "--output", out2]
+    )
+    assert rc == 0
+    folded = {r["id"]: r["cluster_id"] for r in spark.read.parquet(out2).collect()}
+    assert folded["u4"] == folded["u1"] == folded["u2"]
+
+    # a TOKEN-unit fold against the char checkpoint still refuses
+    # (store fingerprint carries signature_unit)
+    with pytest.raises(Exception, match="[Ff]ingerprint"):
         job.main(
-            ["--checkpoint", ck, "--signature-unit", "char",
-             "--incremental-add", docs_path, "--output", out]
+            ["--checkpoint", ck, "--tolerance", "0.100",
+             "--incremental-add", batch_path, "--output", out2]
         )

@@ -163,7 +163,14 @@ def test_pipeline_incremental_write_is_o_delta(spark, tmp_path):
     changed = {d for d in after if after[d] != before.get(d)}
     store = PartitionedSignatureStore(
         sig_root, CFG,
-        extra_fingerprint={"strip_boilerplate": False, "boilerplate_min_df": [1, 2]},
+        # must be the EXACT extras run_dedup_pipeline writes: read() now
+        # validates the fingerprint (unit-mix guard), so a stale/partial
+        # dict here refuses instead of silently reading
+        extra_fingerprint={
+            "canonicalize_urls": False,
+            "strip_boilerplate": False,
+            "boilerplate_min_df": [1, 2],
+        },
     )
     dirty = store.manifest()["last_dirty_buckets"]
     assert len(dirty) == 1  # one changed doc -> one dirty bucket

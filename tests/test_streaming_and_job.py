@@ -623,6 +623,52 @@ def test_job_cli_emit_corpus(spark, tmp_path):
     assert all(r["shard_offset"] // 700 == r["shard_id"] for r in offs)
 
 
+def test_job_cli_emit_corpus_matchset(spark, tmp_path):
+    """--emit-corpus under --grouping matchset: every member is claimed by
+    the EARLIEST group containing it (min cluster_id — matchset cluster
+    ids are seed ids, so seed-order wins), each doc exported at most once,
+    one min-id survivor per claimed group + all singletons."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=97)
+    cb.make_clusters(
+        num_clusters=2, first_size=4, size_step=1, intra_d=20, inter_d=200, doclen=300
+    )
+    docs = cb.to_spark(spark, partitions=2)
+    docs_path = str(tmp_path / "docs")
+    docs.write.parquet(docs_path)
+    out = str(tmp_path / "corpus")
+    rc = job.main(
+        ["--docs", docs_path, "--checkpoint", str(tmp_path / "ckpt"),
+         "--tolerance", "0.100", "--grouping", "matchset",
+         "--output", str(tmp_path / "groups"),
+         "--emit-corpus", out, "--shard-tokens", "700"]
+    )
+    assert rc == 0
+
+    kept = spark.read.parquet(out + "/data")
+    groups = spark.read.parquet(str(tmp_path / "groups"))
+    assert "is_seed" in groups.columns  # really matchset-mode output
+    # exported at most once, even if groups overlapped
+    assert kept.count() == kept.select("url").distinct().count()
+    # seed-order claiming: each member's group = min cluster_id over its rows
+    claimed = {
+        r["id"]: r["c"]
+        for r in groups.groupBy("id").agg(F.min("cluster_id").alias("c")).collect()
+    }
+    want_survivors = {min(m for m, c in claimed.items() if c == cid)
+                      for cid in set(claimed.values())}
+    all_ids = {r["url"] for r in docs.select("url").collect()}
+    want = want_survivors | (all_ids - set(claimed))
+    assert {r["url"] for r in kept.select("url").collect()} == want
+    man = _json.load(open(out + "/manifest.json"))
+    assert man["n_docs"] == len(want)
+
+
 def test_job_cli_all_stages_composed(spark, tmp_path):
     """Every cluster-preserving stage in ONE run: --extract-html +
     --quality-gate + --decontam + --emit-corpus + groups output, then

@@ -203,9 +203,18 @@ def search_incremental(
     text_col: str = "text",
     ts_col: str = "warc_ts",
     update_store: bool = True,
+    unit: str = "token",
 ) -> DataFrame:
     """ADDITIVE incremental self-search: fold a batch of brand-new docs
     into an existing clustering without recomputing the old corpus.
+
+    ``unit`` must match the granularity the STORE was built with (the
+    signature columns are structurally identical across units, so a flip
+    would silently verify char minhashes against token minhashes) — the
+    persistent-store fingerprint carries ``signature_unit`` exactly so a
+    mismatched fold fails fast at ``sigstore.read``.  ``search_delete``
+    and ``search_merge*`` take no unit: they only re-search STORED
+    signatures, which already carry their granularity.
 
     The batch form of the reference's cache-then-rerun workflow
     (app_fns.rs: rebuild hashes incrementally, re-search everything) with
@@ -241,7 +250,7 @@ def search_incremental(
     spark = new_docs.sparkSession
     tol = cfg.default_tolerance if tolerance is None else tolerance
     sigs_new = _materialize(
-        build_signatures(new_docs, cfg, id_col, text_col), True
+        build_signatures(new_docs, cfg, id_col, text_col, unit=unit), True
     )
     old_sigs = sigstore.read(spark)
     n_overlap = sigs_new.select("id").join(
@@ -611,11 +620,24 @@ def explain_pair(
     toks = sub.select(
         "id", tokens_col(normalize_text(F.col("text"))).alias("toks")
     )
-    lcs = pair_token_lcs(p, toks, k=lcs_k, id_col="id", toks_col="toks").select(
+    # LCS and coverage share the expensive diagonal-runs core (positional
+    # gram explode + match join + island window): compute it ONCE,
+    # materialize, and feed both — not twice (ROUND4 gap #5)
+    from vid_dup_finder_lib_spark.operators.substring import _diagonal_runs
+
+    runs = _diagonal_runs(
+        p, toks, lcs_k, "id", "toks", "id1", "id2",
+        max_gram_repeat=1_000, caller="explain_pair",
+    ).localCheckpoint(eager=True)
+    lcs = pair_token_lcs(
+        p, toks, k=lcs_k, id_col="id", toks_col="toks", runs=runs
+    ).select(
         "id1", "id2", "lcs_tokens",
         F.col("start1").alias("lcs_start1"), F.col("start2").alias("lcs_start2"),
     )
-    cov = pair_verbatim_coverage(p, toks, k=lcs_k, id_col="id", toks_col="toks")
+    cov = pair_verbatim_coverage(
+        p, toks, k=lcs_k, id_col="id", toks_col="toks", runs=runs
+    )
     lined = sub.select("id", token_lines(F.col("text"), line_tokens).alias("lines"))
     ldiff = pair_line_diff(p, lined, id_col="id")
 

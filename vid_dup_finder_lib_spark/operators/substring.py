@@ -266,6 +266,7 @@ def pair_token_lcs(
     id1: str = "id1",
     id2: str = "id2",
     max_gram_repeat: int = 1_000,
+    runs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact longest common token RUN per candidate pair — the "how long is
     the shared passage, and where" number behind the substring family's
@@ -303,12 +304,18 @@ def pair_token_lcs(
     island window is partitioned by (pair, diagonal) — never unpartitioned.
     Output: ``(id1, id2, lcs_tokens, start1, start2)``, one row per input
     pair (0 / null when no common run reaches k).
+
+    ``runs``: optionally pass a precomputed ``_diagonal_runs`` table to
+    share the (explode + match join + island window) core with
+    ``pair_verbatim_coverage`` over the same pairs/tokens/k — the fusion
+    ``api.explain_pair`` uses so the expensive subtree executes once.
     """
     p = pairs.select(id1, id2)
-    runs = _diagonal_runs(
-        pairs, tokens, k, id_col, toks_col, id1, id2, max_gram_repeat,
-        caller="pair_token_lcs",
-    )
+    if runs is None:
+        runs = _diagonal_runs(
+            pairs, tokens, k, id_col, toks_col, id1, id2, max_gram_repeat,
+            caller="pair_token_lcs",
+        )
     best = runs.groupBy(id1, id2).agg(
         F.min(F.struct((-F.col("run_len")).alias("a"),
                        F.col("s1").alias("b"),
@@ -363,6 +370,7 @@ def pair_verbatim_coverage(
     id1: str = "id1",
     id2: str = "id2",
     max_gram_repeat: int = 1_000,
+    runs: DataFrame | None = None,
 ) -> DataFrame:
     """Per candidate pair: what FRACTION of each document is verbatim-shared
     (in runs of >= k tokens) with the other — the number dedup policies
@@ -377,12 +385,14 @@ def pair_verbatim_coverage(
 
     Scale shape: everything from pair_token_lcs plus two windows
     partitioned by (pair) over run rows only (runs per pair are few — they
-    are maximal islands, not matches).
+    are maximal islands, not matches).  ``runs`` shares a precomputed
+    ``_diagonal_runs`` table exactly as in :func:`pair_token_lcs`.
     """
-    runs = _diagonal_runs(
-        pairs, tokens, k, id_col, toks_col, id1, id2, max_gram_repeat,
-        caller="pair_verbatim_coverage",
-    )
+    if runs is None:
+        runs = _diagonal_runs(
+            pairs, tokens, k, id_col, toks_col, id1, id2, max_gram_repeat,
+            caller="pair_verbatim_coverage",
+        )
     c1 = _interval_union_len(runs, id1, id2, "s1", "covered1")
     c2 = _interval_union_len(runs, id1, id2, "s2", "covered2")
     nt = tokens.select(

@@ -254,14 +254,11 @@ def main(argv: list[str] | None = None) -> int:
             "--merge-with is one fold: run add/delete folds as separate "
             "invocations (order matters for labels)"
         )
-    if args.signature_unit != "token" and (
-        args.incremental_add or args.incremental_delete or args.merge_with
-    ):
-        p.error(
-            "--signature-unit char is not yet threaded through the fold "
-            "modes' batch-side signature builds — run the full pipeline "
-            "(which is O(delta) via the store) instead"
-        )
+    # --signature-unit char runs on every fold mode: --incremental-add
+    # threads it into the batch-side signature build, and delete/merge
+    # only re-search STORED signatures (granularity travels with them).
+    # A unit flip against an existing store fails fast regardless — the
+    # store fingerprint carries signature_unit (_flag_extras).
     if args.emit_corpus and (
         args.incremental_add or args.incremental_delete or args.merge_with
         or args.report or args.restore or args.list_snapshots
@@ -529,6 +526,7 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             text_col=args.text_col,
             update_store=args.incremental_commit,
+            unit=args.signature_unit,
         )
         out = assignment.select(
             F.col("component").alias("cluster_id"), "id"
@@ -688,12 +686,19 @@ def main(argv: list[str] | None = None) -> int:
         from vid_dup_finder_lib_spark.operators.packing import pack_shards
 
         if "is_seed" in res.groups.columns:
-            raise SystemExit(
-                "--emit-corpus supports cc grouping only: matchset groups "
-                "may overlap, so 'one survivor per cluster' is not a "
-                "partition of the corpus there"
+            # matchset groups may OVERLAP (reference semantics: a doc can
+            # match several seeds), so 'one survivor per cluster' is not a
+            # partition as-is.  Export rule (documented in the manifest):
+            # seed-order wins — every member is claimed by the EARLIEST
+            # group containing it (min cluster_id; matchset cluster_ids
+            # are emitted in greedy seed order), each doc exported at most
+            # once.  The claimed assignment is a partition, and the rest
+            # of the export path is identical to cc mode.
+            cc = res.groups.groupBy("id").agg(
+                F.min("cluster_id").alias("cluster_id")
             )
-        cc = res.groups.select("id", "cluster_id")
+        else:
+            cc = res.groups.select("id", "cluster_id")
         if args.survivor_rule == "medoid":
             from vid_dup_finder_lib_spark.operators.dedup import (
                 medoid_survivors,

@@ -133,18 +133,32 @@ class PartitionedSignatureStore:
         m = self.manifest()
         if m is None:
             return False
+        self._validate_fingerprint(m)
+        return True
+
+    def _validate_fingerprint(self, m: dict) -> None:
         if m.get("fingerprint") != self.fingerprint():
             raise ValueError(
                 f"signature store at {self.root} was written under fingerprint "
                 f"{m.get('fingerprint')} but the current configuration is "
                 f"{self.fingerprint()}; clear it or use a matching config"
             )
-        return True
 
     # -- read --------------------------------------------------------------
 
     def read(self, spark: SparkSession) -> DataFrame:
-        """Full table scan (bucket column dropped — it is storage-internal)."""
+        """Full table scan (bucket column dropped — it is storage-internal).
+
+        Validates the manifest fingerprint first: signatures from a
+        different config (or signature UNIT — char minhashes are
+        structurally identical columns to token minhashes) must never be
+        consumed silently.  ``exists()`` guards the write/reuse path; this
+        guards every consumer that reads without asking ``exists()``
+        (e.g. the fold modes).
+        """
+        m = self.manifest()
+        if m is not None:
+            self._validate_fingerprint(m)
         self._sweep_and_recover()
         return spark.read.parquet(self._data_dir()).drop("bucket")
 
@@ -163,7 +177,11 @@ class PartitionedSignatureStore:
         dirty-set collect, never ids); at corpus scale this reads
         O(|ids| / num_buckets · store) bytes instead of the whole table.
         Planning-time directory pruning is plan-asserted
-        (tests/test_search_delete.py)."""
+        (tests/test_search_delete.py).  Fingerprint-validated like
+        ``read()``."""
+        m = self.manifest()
+        if m is not None:
+            self._validate_fingerprint(m)
         self._sweep_and_recover()
         spark = ids_df.sparkSession
         ids = ids_df.select(F.col(ids_df.columns[0]).alias("id")).distinct()
