@@ -282,8 +282,14 @@ def test_job_cli_incremental_delete(spark, tmp_path):
     ]) == 0
     assert store_manifest.read_text() != before
     from vid_dup_finder_lib_spark.config import DEFAULT_CONFIG
+    from vid_dup_finder_lib_spark.plans.job import _flag_extras, build_parser
+    # read() validates the store fingerprint, which carries the CLI's
+    # flag-derived extras — inspect with the same default flags the runs used
     committed = PartitionedSignatureStore(
-        str(tmp_path / "ckpt" / "signatures"), DEFAULT_CONFIG
+        str(tmp_path / "ckpt" / "signatures"), DEFAULT_CONFIG,
+        extra_fingerprint=_flag_extras(build_parser().parse_args(
+            ["--checkpoint", ckpt]
+        )),
     )
     assert committed.read(spark).where(F.col("id") == doomed).count() == 0
     assert committed.read(spark).count() == 8

@@ -57,7 +57,9 @@ def _flag_extras(args) -> dict:
     }
 
 
-def main(argv: list[str] | None = None) -> int:
+def build_parser() -> argparse.ArgumentParser:
+    """The CLI parser, exposed so callers can reproduce the flag-derived
+    store-fingerprint extras (``_flag_extras``) for a given invocation."""
     p = argparse.ArgumentParser(description="near-dup detection pipeline")
     p.add_argument(
         "--docs",
@@ -233,6 +235,11 @@ def main(argv: list[str] | None = None) -> int:
              "bucket) and, with --docs, a leakage-free cluster-coherent "
              "80/10/10 split (splits.parquet) — no signature work is rerun",
     )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = build_parser()
     args = p.parse_args(argv)
     if not args.docs and not (
         args.restore or args.list_snapshots or args.incremental_add
