@@ -47,6 +47,8 @@ import subprocess
 import sys
 import time
 
+import numpy as np
+
 N = int(os.environ.get("SCALE_N", "4"))
 TRIALS = int(os.environ.get("SCALE_TRIALS", "3"))
 AMPLIFY = int(os.environ.get("SCALE_AMPLIFY", "7"))
@@ -283,11 +285,28 @@ def wait_for_quiet() -> tuple[bool, float]:
 
 
 def _ballast_main(stop_path: str) -> None:
+    # SCALE_BALLAST_KIND=avx: the signature kernel's cycles-per-work gap
+    # across parallelism tracks AVX license clocking (BENCH.md mechanism 1)
+    # — pure-Python ballast pins base clocks but not the vector license
+    # state, which is why round-2 equalized pairs undershot the measured
+    # host ceiling.  numpy dot-product ballast exercises the same vector
+    # units the Arrow kernel does, so both levels run at the same AVX
+    # frequency tier.  Ballast runs on otherwise-IDLE cores at the low-N
+    # level: it pins clocks, it does not steal cycles from Spark's workers.
+    avx = os.environ.get("SCALE_BALLAST_KIND", "py") == "avx"
+    if avx:
+        a = np.random.default_rng(0).random((256, 256))
+        b = np.random.default_rng(1).random((256, 256))
     while not os.path.exists(stop_path):
-        x = 0
-        t0 = time.time()
-        while time.time() - t0 < 0.5:
-            x += 1
+        if avx:
+            t0 = time.time()
+            while time.time() - t0 < 0.5:
+                a @ b
+        else:
+            x = 0
+            t0 = time.time()
+            while time.time() - t0 < 0.5:
+                x += 1
 
 
 def run_once(cpus: int, sf_dir: str, ballast: int = 0) -> dict:
