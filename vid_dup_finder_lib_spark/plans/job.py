@@ -693,14 +693,13 @@ def main(argv: list[str] | None = None) -> int:
         from vid_dup_finder_lib_spark.operators.packing import pack_shards
 
         if "is_seed" in res.groups.columns:
-            # matchset groups may OVERLAP (reference semantics: a doc can
-            # match several seeds), so 'one survivor per cluster' is not a
-            # partition as-is.  Export rule (documented in the manifest):
-            # seed-order wins — every member is claimed by the EARLIEST
-            # group containing it (min cluster_id; matchset cluster_ids
-            # are emitted in greedy seed order), each doc exported at most
-            # once.  The claimed assignment is a partition, and the rest
-            # of the export path is identical to cc mode.
+            # matchset groups are DISJOINT by construction (the greedy
+            # consume marks every member matched — grouping.py: "every
+            # video lands in at most one group"), so the export is a
+            # partition already; the min-cluster_id claim below is a
+            # structural guarantee of that invariant (and the documented
+            # export rule should any future grouping emit overlap: each
+            # doc is claimed by its minimum cluster_id, exported once).
             cc = res.groups.groupBy("id").agg(
                 F.min("cluster_id").alias("cluster_id")
             )
