@@ -3335,7 +3335,11 @@ kept AS (
 )
 SELECT doc_id, n_lines,
        len(kept_lines)::BIGINT AS n_kept,
-       md5(array_to_string(kept_lines, chr(10))) AS kept_md5
+       -- coalesce: DuckDB array_to_string([]) is NULL (Spark array_join
+       -- gives ''), so a doc whose EVERY line is frequent must still hash
+       -- the empty string — latent at sf0.01 (no all-frequent doc),
+       -- exposed at sf0.1
+       md5(coalesce(array_to_string(kept_lines, chr(10)), '')) AS kept_md5
 FROM kept
 """,
         # per-doc corpus-novelty score over the derived corpus: df>=2
