@@ -159,6 +159,10 @@ def main() -> None:
         "source_overlap_matrix",
         "clustering_agreement",
         "cluster_size_histogram",
+        # round-5 graduates: the blocked exact embedding join and the
+        # char-unit incremental fold
+        "embedding_neardup",
+        "char_incremental_cc",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}
