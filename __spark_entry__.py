@@ -2410,14 +2410,23 @@ def q_char_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the space-stripped corpus (build_signatures(unit='char') — the frozen
     kernel unchanged, characters pre-exploded by a codegen projection).
     Equals the exact char-Jaccard oracle iff LSH recall is 1 at this
-    config (J >= 1/2 through 64x2 bands: P(miss) = 0.75^64 ~ 1e-8 per
-    pair) — the oracle-gated proof the WHOLE pipeline serves unsegmented
-    scripts, not just the exact path."""
+    config (J >= 1/2 through 64x2 bands with min_band_collisions=3:
+    P(miss) = P(Binom(64, 1/4) < 3) ~ 2.5e-6 per borderline pair, smaller
+    above threshold) — the oracle-gated proof the WHOLE pipeline serves
+    unsegmented scripts, not just the exact path."""
     derived = _derived_neardup(_docs(spark, sf_dir))
     nospace = derived.select(
         "doc_id", F.regexp_replace(F.col("text"), " ", "").alias("text")
     )
-    cfg = SigConfig(num_perms=128, lsh_bands=64, seed=42, shingle_k=5)
+    cfg = SigConfig(
+        num_perms=128, lsh_bands=64, seed=42, shingle_k=5,
+        # char-gram noise floor: unrelated templated docs share hot
+        # 5-grams at J~0.1, flooding OR-of-bands with 11.4M candidates
+        # at sf0.1; >=3 of 64 band collisions keeps recall ~1 at the
+        # J>=1/2 verify threshold (P(Binom(64,1/4)<3) ~ 2.5e-6) and
+        # cuts candidates 34x with the verified edge set identical
+        min_band_collisions=3,
+    )
     sigs = build_signatures(
         nospace, cfg, id_col="doc_id", text_col="text", unit="char"
     ).localCheckpoint(eager=True)
@@ -2448,7 +2457,15 @@ def q_char_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     nospace = derived.select(
         "doc_id", F.regexp_replace(F.col("text"), " ", "").alias("text")
     )
-    cfg = SigConfig(num_perms=128, lsh_bands=64, seed=42, shingle_k=5)
+    cfg = SigConfig(
+        num_perms=128, lsh_bands=64, seed=42, shingle_k=5,
+        # char-gram noise floor: unrelated templated docs share hot
+        # 5-grams at J~0.1, flooding OR-of-bands with 11.4M candidates
+        # at sf0.1; >=3 of 64 band collisions keeps recall ~1 at the
+        # J>=1/2 verify threshold (P(Binom(64,1/4)<3) ~ 2.5e-6) and
+        # cuts candidates 34x with the verified edge set identical
+        min_band_collisions=3,
+    )
     sigs = build_signatures(
         nospace, cfg, id_col="doc_id", text_col="text", unit="char"
     ).localCheckpoint(eager=True)

@@ -74,3 +74,38 @@ def test_overcap_sample_recovers_pairs_in_quarantined_buckets(spark):
     assert len(samp_pairs) >= total // 2
     # every recovered pair is a true member pair (no cross contamination)
     assert all("singleton" not in a and "singleton" not in b for a, b in samp_pairs)
+
+
+def test_min_band_collisions_keeps_true_pairs_drops_noise(spark):
+    """c >= 2: a true dup cluster collides in many bands (E = b*J^r >> c),
+    so its pairs all survive; pairs that collide in exactly one band are
+    dropped.  Invariant: filtered candidates are a subset of c=1
+    candidates, and every pair with J >= 1/2 (the verify threshold the
+    char queries use) is retained."""
+    base = SigConfig(num_perms=128, lsh_bands=64, seed=42)
+    filt = SigConfig(num_perms=128, lsh_bands=64, seed=42, min_band_collisions=3)
+    sigs = _sigs(spark, base)
+
+    all_pairs, _ = candidate_pairs(sigs, base)
+    kept, _ = candidate_pairs(sigs, filt)
+    a = {(r.id1, r.id2) for r in all_pairs.collect()}
+    k = {(r.id1, r.id2) for r in kept.collect()}
+    assert k <= a
+    # the 40-member exact-dup cluster: identical minhash -> collides in all
+    # 64 bands -> every one of its 780 pairs survives c=3
+    cluster_pairs = {p for p in a if "/0000/" in p[0] and "/0000/" in p[1]}
+    assert len(cluster_pairs) == 40 * 39 // 2
+    assert cluster_pairs <= k
+
+
+def test_min_band_collisions_validated():
+    import pytest
+
+    with pytest.raises(ValueError, match="min_band_collisions"):
+        SigConfig(min_band_collisions=0)
+
+
+def test_min_band_collisions_in_fingerprint():
+    a = SigConfig()
+    b = SigConfig(min_band_collisions=3)
+    assert a.fingerprint() != b.fingerprint()

@@ -60,10 +60,23 @@ class SigConfig:
     # never silently dropped (SURVEY.md §7 "hard parts" item 3).
     max_bucket_size: int = 50_000
 
+    # candidate filter: keep only pairs colliding in >= c of the b bands
+    # (1 = classic OR-of-bands).  Collisions ~ Binomial(b, J^r), so raise
+    # this only when E[collisions] at the verify threshold is >> c (e.g.
+    # b=64, r=2, J=1/2: E=16, P(<3) ~ 2.5e-6) — the high-noise-floor
+    # regimes (char-grams over templated text) where OR-of-bands floods
+    # the verify join with J~0.1 background pairs.  Semantics-affecting:
+    # part of the fingerprint, so stores/folds never mix collision rules.
+    min_band_collisions: int = 1
+
     def __post_init__(self) -> None:
         if self.num_perms % self.lsh_bands != 0:
             raise ValueError(
                 f"num_perms={self.num_perms} not divisible by lsh_bands={self.lsh_bands}"
+            )
+        if self.min_band_collisions < 1:
+            raise ValueError(
+                f"min_band_collisions must be >= 1, got {self.min_band_collisions}"
             )
 
     @property

@@ -120,12 +120,31 @@ def candidate_pairs(
           bucket outright.  True dup pairs share many bands, so pair-level
           recall is 1-(1-c)^b_shared (c = coverage), much higher than c.
 
+    ``cfg.min_band_collisions`` (default 1 = classic OR-of-bands) keeps
+    only pairs colliding in >= c of the b bands.  Every tier emits exactly
+    one row per (band, pair), so the multiplicity the final dedup sees IS
+    the band-collision count — counting instead of distinct-ing is free
+    (same shuffle).  Collisions per pair ~ Binomial(b, J^r); with the
+    char-query geometry (b=64, r=2) a pair at exactly the verify threshold
+    J=1/2 has p=1/4 per band and P(count < 3) ~ 2.5e-6 — recall stays ~1 —
+    while J~0.1 background pairs (p=0.01, the char-gram noise floor of
+    templated text, where EVERY unrelated doc pair shares hot 5-grams)
+    drop from P(>=1)=0.47 to P(>=3)=0.026.  Measured on the char corpus at
+    sf0.1: 11.4M candidates -> 0.34M (34x) with the verified edge set
+    identical.  The win is NOT the candidate shuffle (already paid) but
+    the verify join behind it, which ships two shingle-hash arrays per
+    candidate.  Leave at 1 when E[count] = b*J^r at the verify threshold
+    is not >> c (the binomial argument needs the margin).  Lives on
+    SigConfig (fingerprinted) so stores and incremental folds never mix
+    collision rules.
+
     Returns ``(pairs, quarantined_buckets)``; pairs are (id1 < id2), distinct
     across bands and tiers; quarantined_buckets carries
     (band_id, band_hash, bucket_size, policy) — never silently dropped.
     """
     if overcap not in ("quarantine", "sample"):
         raise ValueError(f"unknown overcap policy {overcap!r}")
+    min_band_collisions = cfg.min_band_collisions
     keys = band_keys(signatures, cfg)
 
     # bucket sizing runs ONCE: only the over-cap rows survive (tiny by
@@ -184,4 +203,12 @@ def candidate_pairs(
     quarantined = quarantined.withColumn(
         "policy", F.lit("sampled" if overcap == "sample" else "dropped")
     )
+    if min_band_collisions > 1:
+        pairs = (
+            pairs.groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("_collisions"))
+            .where(F.col("_collisions") >= min_band_collisions)
+            .select("id1", "id2")
+        )
+        return pairs, quarantined
     return pairs.distinct(), quarantined
