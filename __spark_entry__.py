@@ -2367,40 +2367,45 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_char_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unsegmented-script dedup (dedup.char_ngram_jaccard_pairs): exact
-    character-5-gram Jaccard pairs over the derived corpus with ALL SPACES
-    REMOVED — the zh/ja/th web-text shape where whitespace tokenization
-    collapses each doc to one giant token and every token-shingle operator
-    is structurally blind, while char grams still see the planted
-    near-dups.
+    """Unsegmented-script dedup: EXACT character-5-gram Jaccard pairs over
+    the derived corpus with ALL SPACES REMOVED — the zh/ja/th web-text
+    shape where whitespace tokenization collapses each doc to one giant
+    token and every token-shingle operator is structurally blind, while
+    char grams still see the planted near-dups.
 
-    ``max_shingle_df = 3n/10`` (30 % of the corpus) is the skew valve the
-    exact join NEEDS at scale: the equi-join cost is sum over grams of
-    df², so a single stop-gram present in every doc alone contributes n²
-    joined rows — measured 89 s → 28 s at sf0.1 from dropping just 23
-    such grams.  A gram in >30 % of documents carries no
-    pair-discriminating signal (it puts a third of the corpus in one
-    bucket); the valve is FRACTIONAL because document frequency scales
-    with corpus size — a fixed cutoff that is loose at 10^4 docs strangles
-    recall at 10^3 and is useless at 10^12.  Dropped grams are removed
-    BEFORE the join, mirrored exactly in the DuckDB twin; union_count
-    keeps the pre-valve distinct-gram size, so the reported Jaccard only
-    ever UNDER-counts (recall trade: 589/600 pairs at sf0.01, no false
-    positives).  The dropped grams are enumerable via
-    ``dedup.char_gram_drop_report`` (no-silent-caps rule; test-asserted)."""
-    from vid_dup_finder_lib_spark.operators.dedup import char_ngram_jaccard_pairs
+    Plan (dedup.exact_jaccard_pairs_auto): measure the gram universe once,
+    then pick the physical plan — this corpus's universe is DENSE (7,175
+    distinct 5-grams across 2.0M occurrences at sf0.1, mean df ~280), so
+    every inverted-index plan degenerates to ~n² candidate rows through
+    the shuffle (the round-4 valve traded recall — 589/600 at sf0.01 — to
+    survive exactly this), and the chosen plan is the blocked 0/1 Gram
+    matmul (dedup.gram_matrix_jaccard_pairs): |A∩B| as one float32 BLAS
+    matmul per unordered block pair, integer-exact below a 2^24 universe,
+    zero candidate shuffle.  Measured at sf0.1: 89 s unvalved equi-join /
+    28 s valved → ~6 s exact, recall restored to 600/600 at sf0.01.  On a
+    Zipfian (real-web) universe the dispatcher flips to the lossless
+    AllPairs/PPJoin prefix join (dedup.prefix_jaccard_pairs) instead —
+    both plans exact, the valve no longer load-bearing anywhere."""
+    from vid_dup_finder_lib_spark.functions.text import (
+        char_shingles_col,
+        shingle_hashes_col,
+    )
+    from vid_dup_finder_lib_spark.operators.dedup import exact_jaccard_pairs_auto
 
     derived = _derived_neardup(_docs(spark, sf_dir))
-    nospace = derived.select(
-        "doc_id", F.regexp_replace(F.col("text"), " ", "").alias("text")
+    sets = derived.select(
+        "doc_id",
+        shingle_hashes_col(
+            char_shingles_col(F.regexp_replace(F.col("text"), " ", ""), 5)
+        ).alias("shs"),
     ).localCheckpoint(eager=True)
-    n_docs = nospace.count()
-    return char_ngram_jaccard_pairs(
-        nospace,
-        n=5,
-        threshold_num=1,
-        threshold_den=2,
-        max_shingle_df=n_docs * 3 // 10,
+    return exact_jaccard_pairs_auto(
+        sets, threshold_num=1, threshold_den=2, id_col="doc_id"
+    ).select(
+        F.col("id1").cast("long").alias("id1"),
+        F.col("id2").cast("long").alias("id2"),
+        "inter_count",
+        "union_count",
     )
 
 
@@ -4240,17 +4245,13 @@ csh AS (
   FROM cn
 ),
 cex AS (SELECT doc_id, len(gs)::BIGINT AS sc, unnest(gs) AS g FROM csh WHERE len(gs) > 0),
--- df valve mirror (max_shingle_df = 3n/10, n = derived corpus size): drop
--- grams present in >30% of docs BEFORE the join; sc (and therefore
--- union_count) stays the pre-valve distinct-gram count, exactly the Spark
--- operator's semantics (integer 3n//10 on both engines)
-chot AS (SELECT g FROM cex GROUP BY g
-         HAVING count(*) > (SELECT count(*) * 3 // 10 FROM derived)),
-cexv AS (SELECT cex.* FROM cex ANTI JOIN chot USING (g)),
+-- plain exact join: the Spark side is exact too now (adaptive
+-- gram-matrix / prefix-join plan, no df valve), so the twin is the
+-- textbook explode + equi-join + count
 craw AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, a.sc AS sc1, b.sc AS sc2,
          count(*)::BIGINT AS inter_count
-  FROM cexv a JOIN cexv b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM cex a JOIN cex b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
 )
 SELECT id1, id2, inter_count,
