@@ -2641,7 +2641,12 @@ def _varied_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     sigs = build_signatures(
         varied.select("doc_id", "text"), ENTRY_CFG, id_col="doc_id", text_col="text"
     ).localCheckpoint(eager=True)
-    pairs = ngram_jaccard_pairs(sigs, JACCARD_NUM, JACCARD_DEN)
+    # materialized: the pair-substring operators consume the pair list
+    # 3-5x (doc semi-join, both match-join sides, the one-row-per-pair
+    # spine) — unmaterialized, the exact-Jaccard join re-executes each time
+    pairs = ngram_jaccard_pairs(sigs, JACCARD_NUM, JACCARD_DEN).localCheckpoint(
+        eager=True
+    )
     return pairs, varied.select("doc_id", "toks")
 
 

@@ -389,10 +389,13 @@ def pair_verbatim_coverage(
     ``_diagonal_runs`` table exactly as in :func:`pair_token_lcs`.
     """
     if runs is None:
+        # materialized because BOTH per-side sweeps consume it — without
+        # this the gram match join + island window execute twice (the
+        # repo's multi-consumer rule; runs are few, maximal islands)
         runs = _diagonal_runs(
             pairs, tokens, k, id_col, toks_col, id1, id2, max_gram_repeat,
             caller="pair_verbatim_coverage",
-        )
+        ).localCheckpoint(eager=True)
     c1 = _interval_union_len(runs, id1, id2, "s1", "covered1")
     c2 = _interval_union_len(runs, id1, id2, "s2", "covered2")
     nt = tokens.select(
