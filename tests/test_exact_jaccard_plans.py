@@ -123,3 +123,18 @@ def test_prefix_filter_is_lossless_on_hot_gram_corpus(spark):
     prefix = _pairs(prefix_jaccard_pairs(_sets(docs), 1, 2, id_col="doc_id"))
     assert prefix == naive
     assert (100, 101) in {(a, b) for a, b, _, _ in naive}
+
+
+def test_cost_rule_measured_statistics():
+    """The dispatcher's cost rule reproduces both measured sf0.1 outcomes:
+    dense char universe (U=7,175, sum_df2=5.6e8) -> matrix (measured 6 s vs
+    34 s join); mild token universe (U=29,940, sum_df2=8.6e6) -> prefix
+    (join measured ~4 s vs a ~1.5 TFLOP matmul)."""
+    from vid_dup_finder_lib_spark.operators.dedup import _choose_exact_plan
+
+    assert _choose_exact_plan(10_000, 7_175, 560_000_000, 1 << 20, 4096) == "matrix"
+    assert _choose_exact_plan(10_000, 29_940, 8_600_000, 1 << 20, 4096) == "prefix"
+    # universe over the dense axis -> prefix regardless of cost
+    assert _choose_exact_plan(10_000, (1 << 20) + 1, 10**12, 1 << 20, 4096) == "prefix"
+    # tiny corpus -> matmul flops vanish -> matrix
+    assert _choose_exact_plan(100, 1_000, 100_000, 1 << 20, 4096) == "matrix"
