@@ -293,7 +293,11 @@ def kmeans_centroids(
             "surrogate (e.g. F.xxhash64(id)) upstream"
         )
 
-    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # materialized: init + n_iter combiner passes each scan this — without
+    # it every iteration re-executes the upstream scan/repartition subtree
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).localCheckpoint(eager=True)
     sd = seed
 
     @F.pandas_udf("long")
