@@ -296,6 +296,25 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_pairs_prefix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PREFIX-FILTERED exact plan (dedup.prefix_jaccard_pairs) on the
+    token-shingle corpus — the route exact_jaccard_pairs_auto picks for
+    Zipfian/sparse gram universes (the char query's dense corpus routes to
+    the Gram matmul instead, so without this entry the AllPairs/PPJoin
+    plan would have only unit-test coverage, never a driver oracle row).
+    Semantically identical to ngram_jaccard_pairs: prefix filtering is
+    LOSSLESS (any pair at J >= t shares its smallest common gram, under
+    the ascending-df global order, inside both docs' prefixes of length
+    |X| - ceil(t|X|) + 1), so the oracle is the same exact-join twin —
+    the gate proves the plan change is invisible to results."""
+    from vid_dup_finder_lib_spark.operators.dedup import prefix_jaccard_pairs
+
+    sigs = _neardup_signatures(_docs(spark, sf_dir))
+    return prefix_jaccard_pairs(
+        sigs, JACCARD_NUM, JACCARD_DEN, id_col="id", set_col="shingle_hashes"
+    ).select("id1", "id2", "inter_count", "union_count")
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 core: MinHash LSH band self-join candidates, exact-Jaccard verify.
     Equals the exact oracle iff LSH recall is 1 at this config (it is, to
@@ -2691,6 +2710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries with no prior CORRECTNESS row, then the driver-red
     clustering_agreement, then r3-only rows, then r4-green rows."""
     return {
+        # --- new this session (no driver row yet) ---
+        "jaccard_pairs_prefix_plan": q_jaccard_pairs_prefix_plan,
         # --- never driver-covered (r1-r4) ---
         "streamed_event_rollup": q_streamed_event_rollup,
         "streamed_sessions": q_streamed_sessions,
@@ -4009,6 +4030,10 @@ FROM dexact
 GROUP BY 1 HAVING count(*) >= 2
 """,
         "ngram_jaccard_pairs": _SQL_PROLOGUE
+        + "SELECT id1, id2, inter_count, union_count FROM jpairs",
+        # same exact-join twin: prefix filtering is lossless, so the plan
+        # change must be invisible to the oracle
+        "jaccard_pairs_prefix_plan": _SQL_PROLOGUE
         + "SELECT id1, id2, inter_count, union_count FROM jpairs",
         "minhash_lsh_pairs": _SQL_PROLOGUE
         + "SELECT id1, id2, inter_count, union_count FROM jpairs",
