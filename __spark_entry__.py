@@ -386,9 +386,16 @@ def _sigs_edges_cc(spark: SparkSession, sf_dir: str):
     edges = verified_edges(
         pairs, sigs, ENTRY_CFG, jaccard_num_den=(JACCARD_NUM, JACCARD_DEN), length_band=False
     ).localCheckpoint(eager=True)
-    cc = connected_components(edges).select(
-        F.col("id").cast("long").alias("doc_id"),
-        F.col("component").cast("long").alias("cluster_id"),
+    # cc materialized too: the iterative rounds checkpoint internally, but
+    # the final label agg would otherwise re-run per consumer (the group-
+    # family queries read cc 2-3x: edge join + per-cluster stats + rank)
+    cc = (
+        connected_components(edges)
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            F.col("component").cast("long").alias("cluster_id"),
+        )
+        .localCheckpoint(eager=True)
     )
     return sigs, edges, cc
 
