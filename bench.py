@@ -154,6 +154,7 @@ def main() -> None:
         "compression_ratio",
         "medoid_survivors",
         "char_ngram_pairs",
+        "jaccard_pairs_prefix_plan",
         "char_lsh_pairs",
         "paragraph_neardup",
         "source_overlap_matrix",

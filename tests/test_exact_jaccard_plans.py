@@ -82,7 +82,7 @@ def test_block_count_invariance(spark):
 def test_auto_dispatch_both_routes(spark):
     """Same result whichever side of the universe gate the corpus lands on:
     the default gate routes this corpus dense (universe ~10^3), a gate of 1
-    forces the sparse/prefix route."""
+    forces an inverted-index route (prefix or naive by the df-head rule)."""
     sets = _sets(_corpus(spark))
     dense = _pairs(exact_jaccard_pairs_auto(sets, 1, 2, id_col="doc_id"))
     sparse = _pairs(
@@ -123,18 +123,36 @@ def test_prefix_filter_is_lossless_on_hot_gram_corpus(spark):
     prefix = _pairs(prefix_jaccard_pairs(_sets(docs), 1, 2, id_col="doc_id"))
     assert prefix == naive
     assert (100, 101) in {(a, b) for a, b, _, _ in naive}
+    # this head-heavy corpus is exactly the shape the dispatcher routes to
+    # prefix when the matrix is gated off; result must be unchanged
+    routed = _pairs(
+        exact_jaccard_pairs_auto(
+            _sets(docs), 1, 2, id_col="doc_id", dense_max_universe=1
+        )
+    )
+    assert routed == naive
 
 
 def test_cost_rule_measured_statistics():
-    """The dispatcher's cost rule reproduces both measured sf0.1 outcomes:
+    """The dispatcher's cost rule reproduces ALL measured sf0.1 outcomes:
     dense char universe (U=7,175, sum_df2=5.6e8) -> matrix (measured 6 s vs
-    34 s join); mild token universe (U=29,940, sum_df2=8.6e6) -> prefix
-    (join measured ~4 s vs a ~1.5 TFLOP matmul)."""
+    34 s naive vs 76 s prefix); mild token universe (U=29,940, max_df=52,
+    sum_df2=8.6e6) -> naive (measured 3.0 s vs 6.2 s prefix vs a ~1.5 TFLOP
+    matmul); head-heavy (Zipf) df over a too-big universe -> prefix."""
     from vid_dup_finder_lib_spark.operators.dedup import _choose_exact_plan
 
-    assert _choose_exact_plan(10_000, 7_175, 560_000_000, 1 << 20, 4096) == "matrix"
-    assert _choose_exact_plan(10_000, 29_940, 8_600_000, 1 << 20, 4096) == "prefix"
-    # universe over the dense axis -> prefix regardless of cost
-    assert _choose_exact_plan(10_000, (1 << 20) + 1, 10**12, 1 << 20, 4096) == "prefix"
+    choose = lambda n, u, s2, mx: _choose_exact_plan(n, u, s2, mx, 1 << 20, 4096)
+    assert choose(10_000, 7_175, 560_000_000, 3_000) == "matrix"
+    assert choose(10_000, 29_940, 8_600_000, 52) == "naive"
+    # Zipf head over the dense axis: one df=3e5 gram carries the join cost
+    assert choose(1_000_000, (1 << 21), 10**12, 300_000) == "prefix"
+    # big universe, mild df -> naive
+    assert choose(1_000_000, (1 << 21), 10**9, 100) == "naive"
+    # dense-but-uniform corpus with the matrix gated off (tiny
+    # dense_max_universe): prefix must NOT be chosen — it loses on a
+    # universe with no rare grams (76 s vs 34 s measured)
+    assert (
+        _choose_exact_plan(10_000, 7_175, 560_000_000, 3_000, 1, 4096) == "naive"
+    )
     # tiny corpus -> matmul flops vanish -> matrix
-    assert _choose_exact_plan(100, 1_000, 100_000, 1 << 20, 4096) == "matrix"
+    assert choose(100, 1_000, 100_000, 50) == "matrix"
