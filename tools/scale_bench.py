@@ -209,10 +209,11 @@ def rest_core_seconds(tag):
     by_stage = {}
     for s in stages:
         sid = s["stageId"]
-        cur = by_stage.get(sid, (0, 0))
+        cur = by_stage.get(sid, (0, 0, 0))
         by_stage[sid] = (
             max(cur[0], s.get("executorCpuTime", 0)),
             max(cur[1], s.get("executorRunTime", 0)),
+            max(cur[2], s.get("jvmGcTime", 0)),
         )
     out = {}
     for j in jobs:
@@ -220,13 +221,20 @@ def rest_core_seconds(tag):
         if not grp.endswith(f"@{tag}"):
             continue
         phase = grp.split("@")[0]
-        cpu, run = out.get(phase, (0.0, 0.0))
+        cpu, run, gc = out.get(phase, (0.0, 0.0, 0.0))
         for sid in j["stageIds"]:
-            c, r = by_stage.get(sid, (0, 0))
+            c, r, g = by_stage.get(sid, (0, 0, 0))
             cpu += c / 1e9
             run += r / 1e3
-        out[phase] = (cpu, run)
-    return {p: {"cpu_sec": round(c, 1), "run_sec": round(r, 1)} for p, (c, r) in out.items()}
+            gc += g / 1e3
+        out[phase] = (cpu, run, gc)
+    # gc_sec is wall-time the task threads spent stopped for JVM GC
+    # (jvmGcTime): executorCpuTime FOLDS GC cycles in, so a phase whose
+    # cpu ratio across parallelism exceeds 1 while (cpu - gc) stays flat
+    # is suffering allocation pressure from concurrent task buffers, not
+    # executing a different plan.
+    return {p: {"cpu_sec": round(c, 1), "run_sec": round(r, 1), "gc_sec": round(g, 1)}
+            for p, (c, r, g) in out.items()}
 
 run_pipeline("warmup")  # python worker spin-up, codegen JIT, page cache
 runs = []
@@ -377,13 +385,15 @@ def main() -> None:
             wl, wh = l["phase_wall"].get(p), h["phase_wall"].get(p)
             cl = l["phase_core"].get(p, {}).get("cpu_sec", 0)
             ch = h["phase_core"].get(p, {}).get("cpu_sec", 0)
+            gl = l["phase_core"].get(p, {}).get("gc_sec", 0)
+            gh = h["phase_core"].get(p, {}).get("gc_sec", 0)
             if p == "signatures":
                 cl = round(cl + l["sig_python_cpu_sec"], 1)
                 ch = round(ch + h["sig_python_cpu_sec"], 1)
             sp = wl / wh if wl and wh else float("nan")
             ratio = ch / cl if cl and ch else float("nan")
             rows.append(
-                f"| {p} | {wl} | {wh} | {sp:.2f}× | {sp/4:.3f} | {cl} | {ch} | {ratio:.2f} |"
+                f"| {p} | {wl} | {wh} | {sp:.2f}× | {sp/4:.3f} | {cl} | {ch} | {ratio:.2f} | {gl} | {gh} |"
             )
         return rows
 
@@ -432,9 +442,13 @@ def main() -> None:
         "the Arrow signature stage (accumulator).  Core ratio ≈ 1.0 across",
         "parallelism = the plan does NO extra work at 4N (no added shuffle,",
         "no recomputation); wall gaps beyond that are host contention.",
+        "gc-sec is jvmGcTime (stop-the-world wall folded INTO executorCpuTime):",
+        "a core ratio > 1 with (cpu − gc) flat is allocation pressure from",
+        "concurrent task buffers sharing one JVM heap — local-mode artifact;",
+        "real executors carry private heaps sized per task slot.",
         "",
-        f"| phase | wall@{N} (s) | wall@{4*N} (s) | speedup | eff | core-sec@{N} | core-sec@{4*N} | core ratio 4N/N |",
-        "|---|---|---|---|---|---|---|---|",
+        f"| phase | wall@{N} (s) | wall@{4*N} (s) | speedup | eff | core-sec@{N} | core-sec@{4*N} | core ratio 4N/N | gc-sec@{N} | gc-sec@{4*N} |",
+        "|---|---|---|---|---|---|---|---|---|---|",
         *phase_rows(r_lo, r_hi),
         "",
         "## All trial pairs",
