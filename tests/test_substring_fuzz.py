@@ -102,6 +102,37 @@ def test_window_kernel_matches_row_reference(texts, L, winnow):
         assert row["window_hashes"] == exp, (i, text, L, winnow)
 
 
+@settings(deadline=None, max_examples=80)
+@given(
+    data=st.data(),
+    L=st.integers(1, 5),
+    winnow=st.integers(1, 5),
+)
+def test_winnowing_coverage_guarantee_random_geometry(data, L, winnow):
+    """Schleimer-Wilkerson-Aiken contract, fuzzed on the raw kernel: a
+    shared verbatim run of >= L + winnow - 1 tokens guarantees at least
+    one shared fingerprint — for ANY surrounding text and run position
+    (the Spark-side test pins one (L, W); this sweeps the geometry).
+    Token vocabularies of the non-shared parts are disjoint by prefix,
+    so the shared run is the only source of common windows."""
+    rng_seed = data.draw(st.integers(0, 2**31 - 1))
+    import random
+
+    rng = random.Random(rng_seed)
+    run = [f"r{rng.randrange(10**9)}x{i}" for i in range(L + winnow - 1)]
+    side = lambda p: [
+        f"{p}{rng.randrange(10**9)}x{i}" for i in range(rng.randrange(0, 12))
+    ]
+    text_a = " ".join(side("a") + run + side("A"))
+    text_b = " ".join(side("b") + run + side("B"))
+    batch = _window_hash_batch(
+        pa.array(["a", "b"]), pa.array([text_a, text_b]), L, winnow
+    )
+    rows = batch.to_pylist()
+    shared = set(rows[0]["window_hashes"]) & set(rows[1]["window_hashes"])
+    assert shared, (rng_seed, L, winnow, text_a, text_b)
+
+
 def test_window_kernel_empty_batch():
     batch = _window_hash_batch(
         pa.array([], type=pa.string()), pa.array([], type=pa.string()), 3, 4
