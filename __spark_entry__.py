@@ -706,8 +706,10 @@ def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DETECTED language, 50-token length bucket) — the table a data-mix
     designer reads before setting sampling weights (and the aggregate
     consumer of langid_heuristic, vs stratified_sample's use of the stored
-    lang column).  Shares are integer parts-per-million via decimal(38,0)
-    floor-division so the report is bit-exact cross-engine AND overflow-safe
+    lang column).  Shares are integer parts-per-million via SQL ``div``
+    (exact integral division — NOT ``floor(decimal /)``, whose scale-6
+    HALF_UP rounding precedes the floor; the clustering_agreement
+    precedent) so the report is bit-exact cross-engine AND overflow-safe
     at 10^13-token corpora where sum_tokens * 10^6 exceeds int64.  Scale
     shape: one map-side-combinable aggregation; the grand total is a
     single-row broadcast cross join, not an unpartitioned window."""
@@ -730,10 +732,9 @@ def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "len_bucket",
         "n_docs",
         "sum_tokens",
-        F.floor(
-            F.col("sum_tokens").cast("decimal(38,0)")
-            * F.lit(1_000_000)
-            / F.greatest(F.col("__total"), F.lit(1))
+        F.expr(
+            "(cast(sum_tokens as decimal(38,0)) * 1000000) "
+            "div greatest(__total, 1)"
         )
         .cast("long")
         .alias("token_share_ppm"),
