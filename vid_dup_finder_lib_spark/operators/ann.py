@@ -81,6 +81,39 @@ def brute_force_topk(
     )
 
 
+def auto_n_planes(
+    n_rows: int, target_bucket_size: int = 64, lo: int = 8, hi: int = 24
+) -> int:
+    """Bucket-geometry sizing for hyperplane LSH: the plane count that keeps
+    EXPECTED BUCKET OCCUPANCY constant as the corpus grows.
+
+    With ``p`` planes a table has ``2^p`` buckets, so mean occupancy is
+    ``n / 2^p`` and the per-table candidate work is ``~ n^2 / 2^p`` pair
+    rows.  A FIXED ``p`` therefore scales quadratically with corpus size —
+    measured directly in the scaling sweep (bench_logs/scale_r5_s12.md: the
+    ANN phase's share of the N=2 wall grew 41% -> 65% -> 71% across
+    2x/4x/8x input at p=12).  Choosing ``p = ceil(log2(n / target))`` pins
+    occupancy at ``~target`` for any n, making candidate work ``~ n *
+    target`` — linear in corpus size, the 100x-safe geometry.
+
+    Recall trade (documented, not hidden): per-table collision probability
+    for a pair at angle ``a`` is ``(1 - a/pi)^p``, so +1 plane costs one
+    factor.  Compensate with ``n_probes`` (query-side only — no growth in
+    the inverted file) or ``n_tables``; at constant occupancy the planted
+    near-dup recall in tests holds 1.0 through a 64x corpus sweep.
+
+    Clamped to ``[lo, hi]``: below ``2^lo`` rows the buckets are small
+    enough anyway; ``hi`` caps the int64 bucket key width (and 2^24 buckets
+    x 8 tables is already a billion-row-scale inverted file).
+    """
+    if n_rows <= 0:
+        return lo
+    if target_bucket_size <= 0:
+        raise ValueError(f"target_bucket_size must be positive, got {target_bucket_size}")
+    p = int(np.ceil(np.log2(max(n_rows / target_bucket_size, 1.0))))
+    return max(lo, min(hi, p))
+
+
 def hyperplane_bucket_keys(
     df: DataFrame,
     dim: int,
@@ -152,11 +185,12 @@ def lsh_bucket_topk(
     k: int,
     dim: int,
     n_tables: int = 8,
-    n_planes: int = 12,
+    n_planes: int | str = 12,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probes: int = 1,
+    target_bucket_size: int = 64,
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates = pairs whose (multi-probe)
     query-side buckets hit any corpus-side base bucket in any table; exact
@@ -174,7 +208,20 @@ def lsh_bucket_topk(
     key table computed in one Arrow pass serves both sides (the corpus
     side is the ``probe_idx == 0`` subset), no new shuffle shape, the
     candidate join just sees n_probes× rows on the query side.
+
+    ``n_planes="auto"``: size the bucket geometry from the corpus row count
+    (one count() over the id column) so expected occupancy stays
+    ``~target_bucket_size`` at ANY corpus size — candidate work then grows
+    linearly instead of quadratically (see ``auto_n_planes``).  Opt-in:
+    the default stays a fixed 12 so existing fixture oracles are
+    byte-identical.
     """
+    if n_planes == "auto":
+        n_planes = auto_n_planes(
+            corpus.select(id_col).count(), target_bucket_size=target_bucket_size
+        )
+    elif not isinstance(n_planes, int):
+        raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
     keys = hyperplane_bucket_keys(
         corpus, dim, n_tables, n_planes, seed, id_col, vec_col, n_probes
     ).localCheckpoint(eager=True)  # consumed by both join sides (Arrow UDF upstream)
