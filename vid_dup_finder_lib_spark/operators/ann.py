@@ -295,6 +295,47 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def auto_n_centroids(n_rows: int, lo: int = 16, hi: int = 65536) -> int:
+    """IVF centroid-count sizing: ``k ~ sqrt(n)`` (the standard inverted-
+    file rule — FAISS guidelines put k between sqrt(n) and 16*sqrt(n)).
+
+    Why sqrt: per-query probe work is ``~ nprobe * n / k`` candidates and
+    the assignment matmul is ``~ k`` per vector, so total cost
+    ``n*(k + nprobe*n/k)`` is minimized at ``k = sqrt(nprobe*n)``; sqrt(n)
+    keeps the geometry in the flat bottom of that curve for small nprobe
+    while candidate work per query SHRINKS as the corpus grows a bigger
+    centroid table.  A FIXED k is the same quadratic trap the hyperplane
+    path had (see ``auto_n_planes``): n²·nprobe/k candidate pairs.
+
+    Clamps: ``lo`` keeps tiny corpora from degenerate 1-2 cluster k-means;
+    ``hi`` bounds the driver-side centroid matrix (65536 × dim·8B ≈ 400 MB
+    at dim 768 — the model-state ceiling for a broadcast).
+    """
+    if n_rows <= 0:
+        return lo
+    return max(lo, min(hi, int(round(np.sqrt(n_rows)))))
+
+
+def auto_n_centroids_for_prune(
+    n_rows: int, target_cluster_size: int = 4096, lo: int = 16, hi: int = 65536
+) -> int:
+    """SemDeDup centroid sizing: ``k = ceil(n / target_cluster_size)``.
+
+    The per-cluster greedy prune is O(|cluster|²·dim) on ONE task, so the
+    binding constraint is cluster size, not probe work: pin expected
+    cluster size at ``target_cluster_size`` and the per-task cost is flat
+    at any corpus scale (the published SemDeDup recipe — tens of thousands
+    of centroids at 10^12 docs).  Same clamps as :func:`auto_n_centroids`.
+    """
+    if target_cluster_size <= 0:
+        raise ValueError(
+            f"target_cluster_size must be positive, got {target_cluster_size}"
+        )
+    if n_rows <= 0:
+        return lo
+    return max(lo, min(hi, int(np.ceil(n_rows / target_cluster_size))))
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int,
@@ -460,7 +501,7 @@ def ivf_topk(
     corpus: DataFrame,
     k: int,
     dim: int,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     nprobe: int = 4,
     n_iter: int = 10,
     seed: int = 42,
@@ -476,9 +517,19 @@ def ivf_topk(
     over bare id pairs keyed by a small int (centroid_id — an equi-join AQE
     can split), vectors + norms attach once per surviving pair.  Recall is
     tuned by n_centroids × nprobe.
+
+    ``n_centroids="auto"``: size the centroid table as ``~sqrt(n)`` from
+    one count() (see :func:`auto_n_centroids`) so per-query candidate work
+    shrinks as the corpus grows, instead of the fixed-k quadratic trap.
+    Opt-in — the default stays 16 so the committed fixture oracle is
+    byte-identical.
     """
     from pyspark.sql import functions as F
 
+    if n_centroids == "auto":
+        n_centroids = auto_n_centroids(corpus.select(id_col).count())
+    elif not isinstance(n_centroids, int):
+        raise ValueError(f"n_centroids must be an int or 'auto', got {n_centroids!r}")
     centroids = kmeans_centroids(
         corpus, n_centroids, dim, n_iter, seed, id_col, vec_col
     )
@@ -530,12 +581,13 @@ def semantic_dedup(
     corpus: DataFrame,
     dim: int,
     sim_threshold: float = 0.9,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     n_iter: int = 10,
     seed: int = 42,
     max_cluster_size: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster_size: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 — public
     knowledge): k-means-cluster the embedding corpus, then WITHIN each
@@ -566,7 +618,19 @@ def semantic_dedup(
       measured sizes before any quadratic work starts;
     * prune rule: vector *i* is pruned iff some kept *j < i* has quantized
       cosine STRICTLY above the quantized threshold.
+
+    ``n_centroids="auto"``: ``k = ceil(n / target_cluster_size)`` from one
+    count() (see :func:`auto_n_centroids_for_prune`) — expected cluster
+    size, and therefore the O(size²·dim) per-task prune cost, stays flat
+    at any corpus scale.  Opt-in; the default 16 keeps the committed
+    fixture oracle byte-identical.
     """
+    if n_centroids == "auto":
+        n_centroids = auto_n_centroids_for_prune(
+            corpus.select(id_col).count(), target_cluster_size=target_cluster_size
+        )
+    elif not isinstance(n_centroids, int):
+        raise ValueError(f"n_centroids must be an int or 'auto', got {n_centroids!r}")
     thr_q = int(round(sim_threshold * _SIM_QUANT))
     centroids = kmeans_centroids(
         corpus, n_centroids, dim, n_iter, seed, id_col, vec_col
