@@ -77,6 +77,11 @@ CHILD = r"""
 import json, os, shutil, sys, time, urllib.request
 sys.path.insert(0, "/root/repo")
 cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; AMP = int(sys.argv[3]); REP = int(sys.argv[4]); RUNS = int(sys.argv[5]); PART = int(sys.argv[6]); ADV_MB = int(sys.argv[7])
+# SCALE_ANN_AUTO=1: run the ANN phase with the constant-occupancy auto
+# bucket geometry (ann.auto_n_planes) instead of the fixed 12 planes the
+# s9-s13 sweep used -- the operator-level fix for the s12 quadratic-phase
+# dip, measured here under the same N vs 4N methodology.
+ANN_AUTO = os.environ.get("SCALE_ANN_AUTO", "0") == "1"
 from pyspark.sql import functions as F
 from vid_dup_finder_lib_spark.session import get_spark
 from vid_dup_finder_lib_spark.config import SigConfig
@@ -186,8 +191,10 @@ def run_pipeline(tag):
     walls["temporal"] = time.time() - t0
     sc.setJobGroup(f"ann@{tag}", "ann")
     t0 = time.time()
-    n_ann = lsh_bucket_topk(emb_amp, k=5, dim=64, n_tables=8, n_planes=12,
-                            seed=42, n_probes=2).count()
+    n_ann = lsh_bucket_topk(
+        emb_amp, k=5, dim=64, n_tables=8,
+        n_planes="auto" if ANN_AUTO else 12, target_bucket_size=4,
+        seed=42, n_probes=2).count()
     walls["ann"] = time.time() - t0
     sc.setJobGroup(f"bloom@{tag}", "bloom")
     t0 = time.time()
