@@ -833,6 +833,29 @@ def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_survivors(derived, cc)
 
 
+def q_quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority fuzzy dedup (operators/dedup.priority_survivors):
+    per verified near-dup cluster keep the HIGHEST-scoring member (score =
+    character length of the derived doc — the longest-extraction rule a
+    training pipeline uses to pick the best crawl of a page; ties -> min
+    id), plus every unclustered doc at size 1 with its own score.  The
+    third survivor rule beside min-id (neardup_survivors) and medoid
+    (medoid_survivors); reference analog: the sorted group output the app
+    presents for keeper choice (app_fns.rs output sorting), made explicit."""
+    from vid_dup_finder_lib_spark.operators.components import connected_components
+    from vid_dup_finder_lib_spark.operators.dedup import priority_survivors
+
+    cc = connected_components(_lsh_edges(spark, sf_dir)).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+    derived = _derived_neardup(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").cast("long").alias("quality"),
+    )
+    return priority_survivors(derived, cc, score_col="quality")
+
+
 def q_missed_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: recall accounting — planted pairs the search failed to find
     (planted short docs fall below the Jaccard threshold; they are the
@@ -2719,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     clustering_agreement, then r3-only rows, then r4-green rows."""
     return {
         # --- new this session (no driver row yet) ---
+        "quality_dedup_survivors": q_quality_dedup_survivors,
         "jaccard_pairs_prefix_plan": q_jaccard_pairs_prefix_plan,
         # --- never driver-covered (r1-r4) ---
         "streamed_event_rollup": q_streamed_event_rollup,
@@ -3026,6 +3050,31 @@ SELECT doc_id, cluster_size FROM sizes
 UNION ALL
 SELECT d.doc_id, 1::BIGINT AS cluster_size FROM derived d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM cc)
+""",
+        # quality-priority fuzzy dedup: highest-score member per CC
+        # cluster (score = derived char length, ties -> min id) + all
+        # singletons with their own score
+        "quality_dedup_survivors": prologue_r + sql_cc + r"""
+, dscore AS (
+  SELECT doc_id, length(array_to_string(toks, ' '))::BIGINT AS score
+  FROM derived
+),
+cscored AS (
+  SELECT c.cluster_id, c.doc_id, s.score
+  FROM cc c JOIN dscore s USING (doc_id)
+),
+cbest AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size, max(score) AS best
+  FROM cscored GROUP BY cluster_id
+)
+SELECT min(s.doc_id)::BIGINT AS doc_id,
+       max(b.cluster_size)::BIGINT AS cluster_size,
+       max(s.score)::BIGINT AS score
+FROM cscored s JOIN cbest b ON s.cluster_id = b.cluster_id AND s.score = b.best
+GROUP BY s.cluster_id
+UNION ALL
+SELECT d.doc_id, 1::BIGINT AS cluster_size, d.score
+FROM dscore d WHERE d.doc_id NOT IN (SELECT doc_id FROM cc)
 """,
         "missed_matches": _SQL_PROLOGUE + r"""
 SELECT doc_id AS id1, doc_id + 100000 AS id2 FROM tok

@@ -55,3 +55,51 @@ def test_unknown_rule_raises(spark):
     docs = _corpus(spark, 43)
     with pytest.raises(ValueError, match="survivor_rule"):
         api.dedup_corpus(docs, tolerance=0.1, cfg=CFG, survivor_rule="newest")
+
+
+def test_quality_rule_picks_max_score_member(spark):
+    """survivor_rule='quality': per cluster the kept doc is the max-score
+    member (ties -> min id), lineage still sums to the corpus, and the
+    default text-length score path runs when score_col is omitted."""
+    docs = _corpus(spark, 44).withColumn(
+        "q", (F.abs(F.xxhash64("url")) % 1000).cast("long")
+    ).localCheckpoint()
+    kept = api.dedup_corpus(
+        docs, tolerance=0.100, cfg=CFG, survivor_rule="quality", score_col="q"
+    ).localCheckpoint()
+    groups = api.search(docs, tolerance=0.100, cfg=CFG, grouping="cc")
+    gq = groups.join(docs.select(F.col("url").alias("id"), "q"), "id")
+    best: dict = {}
+    for r in gq.collect():
+        key = (-r["q"], r["id"])
+        if r["cluster_id"] not in best or key < best[r["cluster_id"]][0]:
+            best[r["cluster_id"]] = (key, r["id"])
+    want_clustered = {v[1] for v in best.values()}
+    kept_clustered = {
+        r["url"] for r in kept.where(F.col("cluster_size") > 1).collect()
+    }
+    assert kept_clustered == want_clustered
+    n_total, n_clustered = docs.count(), groups.count()
+    n_clusters = groups.select("cluster_id").distinct().count()
+    assert kept.count() == n_clusters + (n_total - n_clustered)
+    assert kept.agg(F.sum("cluster_size")).collect()[0][0] == n_total
+    assert set(docs.columns) <= set(kept.columns)
+    # default score (char length of text_col) when score_col omitted
+    k2 = api.dedup_corpus(
+        docs.drop("q"), tolerance=0.100, cfg=CFG, survivor_rule="quality"
+    )
+    assert k2.count() == kept.count()
+
+
+def test_quality_rule_score_col_validation(spark):
+    docs = _corpus(spark, 45)
+    with pytest.raises(ValueError, match="score_col"):
+        api.dedup_corpus(
+            docs, tolerance=0.1, cfg=CFG, survivor_rule="quality",
+            score_col="no_such_col",
+        )
+    with pytest.raises(ValueError, match="score_col"):
+        api.dedup_corpus(
+            docs.withColumn("q", F.lit(1)), tolerance=0.1, cfg=CFG,
+            survivor_rule="min_id", score_col="q",
+        )

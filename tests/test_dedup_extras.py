@@ -242,6 +242,53 @@ def test_neardup_survivors_partitioning_invariance(spark):
     assert len(a) == 20 + 100  # 20 five-doc clusters + 100 singletons
 
 
+def test_priority_survivors_semantics(spark):
+    """Max-score member wins (NOT the min id), score ties break to min id,
+    singletons carry their own score."""
+    from vid_dup_finder_lib_spark.operators.dedup import priority_survivors
+
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 5), (2, 40), (3, 90), (4, 7), (5, 20), (6, 40), (7, 3)],
+        "doc_id long, quality long",
+    )
+    # cluster 99 = {1,3,5}: best score 90 at id 3 (min id 1 would be wrong)
+    # cluster 77 = {2,6}: scores tie at 40 -> min id 2
+    cc = spark.createDataFrame(
+        [(1, 99), (3, 99), (5, 99), (2, 77), (6, 77)],
+        "doc_id long, cluster_id long",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_size"], r["score"])
+        for r in priority_survivors(docs, cc, score_col="quality").collect()
+    }
+    assert got == {3: (3, 90), 2: (2, 40), 0: (1, 10), 4: (1, 7), 7: (1, 3)}
+
+
+def test_priority_survivors_partitioning_invariance(spark):
+    from vid_dup_finder_lib_spark.operators.dedup import priority_survivors
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 37 % 101).alias("quality")
+    )
+    cc = spark.createDataFrame(
+        [(i, i // 5 * 5) for i in range(0, 100)],
+        "doc_id long, cluster_id long",
+    )
+    a = sorted(map(tuple, priority_survivors(
+        docs.repartition(1), cc.repartition(1), score_col="quality").collect()))
+    b = sorted(map(tuple, priority_survivors(
+        docs.repartition(13), cc.repartition(7), score_col="quality").collect()))
+    assert a == b
+    assert len(a) == 20 + 100  # 20 five-doc clusters + 100 singletons
+    # every cluster survivor's score is the max over its members
+    scores = {i: i * 37 % 101 for i in range(200)}
+    for doc_id, size, score in a:
+        if size == 5:
+            members = [m for m in range(100) if m // 5 * 5 == doc_id // 5 * 5]
+            assert score == max(scores[m] for m in members)
+            assert scores[doc_id] == score
+
+
 # ---------------------------------------------------------------------------
 # shingle_containment_pairs (asymmetric / superset dedup)
 # ---------------------------------------------------------------------------

@@ -780,6 +780,51 @@ def test_job_cli_emit_corpus_medoid_rule(spark, tmp_path):
     assert man["survivor_rule"].startswith("medoid")
 
 
+def test_job_cli_emit_corpus_quality_rule(spark, tmp_path):
+    """--emit-corpus --survivor-rule quality: per cluster the kept doc is
+    the member with the most whitespace tokens in the shipped text (ties
+    -> min id); cardinality matches the other rules."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=98)
+    cb.make_clusters(
+        num_clusters=2, first_size=4, size_step=1, intra_d=20, inter_d=200, doclen=300
+    )
+    docs = cb.to_spark(spark, partitions=2)
+    docs_path = str(tmp_path / "docs")
+    docs.write.parquet(docs_path)
+    out = str(tmp_path / "corpus")
+    rc = job.main(
+        ["--docs", docs_path, "--checkpoint", str(tmp_path / "ckpt"),
+         "--tolerance", "0.100", "--output", str(tmp_path / "groups"),
+         "--emit-corpus", out, "--survivor-rule", "quality"]
+    )
+    assert rc == 0
+    kept = spark.read.parquet(out + "/data")
+    groups = spark.read.parquet(str(tmp_path / "groups"))
+    n_clusters = groups.select("cluster_id").distinct().count()
+    n_singles = docs.count() - groups.count()
+    assert kept.count() == n_clusters + n_singles
+    # expected survivor per cluster: max token count, ties -> min id
+    toks = {r["url"]: len(r["text"].split()) for r in docs.collect()}
+    best: dict = {}
+    for r in groups.collect():
+        key = (-toks[r["id"]], r["id"])
+        if r["cluster_id"] not in best or key < best[r["cluster_id"]][0]:
+            best[r["cluster_id"]] = (key, r["id"])
+    want_clustered = {v[1] for v in best.values()}
+    kept_clustered = {
+        r["url"] for r in kept.where(F.col("cluster_size") > 1).collect()
+    }
+    assert kept_clustered == want_clustered
+    man = _json.load(open(out + "/manifest.json"))
+    assert man["survivor_rule"].startswith("max processed-token")
+
+
 def test_emit_corpus_refuses_fold_modes(tmp_path):
     """--emit-corpus with a fold/report mode would be silently ignored
     (those modes return before the emit step) — it must refuse instead."""

@@ -658,6 +658,7 @@ def dedup_corpus(
     text_col: str = "text",
     survivor_rule: str = "min_id",
     unit: str = "token",
+    score_col: str | None = None,
 ) -> DataFrame:
     """The one-call fuzzy dedup a training pipeline wants: search, cluster,
     pick one survivor per cluster, return the KEPT documents (all input
@@ -670,7 +671,13 @@ def dedup_corpus(
       the CC label, so survivors ARE the cluster ids);
     * ``"medoid"`` — the most-central member by summed incident edge
       Jaccard mass (operators.dedup.medoid_survivors): the defensible rule
-      when the kept text is the product.
+      when the kept text is the product;
+    * ``"quality"`` — the highest-scoring member
+      (operators.dedup.priority_survivors): keep the best-quality crawl of
+      the page.  ``score_col`` names an integer score column on ``docs``
+      (e.g. precomputed from functions.textstats.quality_score_components);
+      when None the score defaults to the character length of ``text_col``
+      — the longest-extraction rule.  Ties break to the minimum id.
 
     Always cc grouping (matchset groups can overlap — not a partition).
     """
@@ -678,12 +685,17 @@ def dedup_corpus(
     from vid_dup_finder_lib_spark.operators.dedup import (
         medoid_survivors,
         neardup_survivors,
+        priority_survivors,
     )
 
-    if survivor_rule not in ("min_id", "medoid"):
+    if survivor_rule not in ("min_id", "medoid", "quality"):
         raise ValueError(
-            f"unknown survivor_rule {survivor_rule!r} (min_id | medoid)"
+            f"unknown survivor_rule {survivor_rule!r} (min_id | medoid | quality)"
         )
+    if score_col is not None and survivor_rule != "quality":
+        raise ValueError("score_col is only meaningful with survivor_rule='quality'")
+    if score_col is not None and score_col not in docs.columns:
+        raise ValueError(f"score_col {score_col!r} not in docs columns")
     tol = cfg.default_tolerance if tolerance is None else tolerance
     # verification is the reference's tolerance radius either way; the
     # medoid rule additionally needs per-edge Jaccard mass, attached via a
@@ -721,10 +733,18 @@ def dedup_corpus(
             .select("__kid", F.lit(1).cast("long").alias("cluster_size"))
         )
         kept_ids = clustered.unionByName(singles)
-    else:
-        raise ValueError(
-            f"unknown survivor_rule {survivor_rule!r} (min_id | medoid)"
+    else:  # "quality" (validated above)
+        scored_docs = docs.select(
+            F.col(id_col),
+            (
+                F.col(score_col) if score_col is not None
+                else F.length(F.col(text_col))
+            ).cast("long").alias("__q"),
         )
+        kept_ids = priority_survivors(
+            scored_docs, cc, score_col="__q",
+            id_col=id_col, member_col="__m", cluster_col="__c",
+        ).select(F.col(id_col).alias("__kid"), "cluster_size")
     return docs.join(
         kept_ids, docs[id_col] == kept_ids["__kid"]
     ).drop("__kid")

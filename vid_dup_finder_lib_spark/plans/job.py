@@ -222,11 +222,14 @@ def build_parser() -> argparse.ArgumentParser:
              "checkpoint refuses",
     )
     p.add_argument(
-        "--survivor-rule", choices=["min-id", "medoid"], default="min-id",
+        "--survivor-rule", choices=["min-id", "medoid", "quality"],
+        default="min-id",
         dest="survivor_rule",
-        help="--emit-corpus survivor choice: smallest member id (default) "
-             "or the most-central member by summed incident edge Jaccard "
-             "mass (dedup.medoid_survivors)",
+        help="--emit-corpus survivor choice: smallest member id (default), "
+             "the most-central member by summed incident edge Jaccard "
+             "mass (dedup.medoid_survivors), or the member with the most "
+             "pipeline-processed tokens — the longest-extraction rule "
+             "(dedup.priority_survivors, ties -> min id)",
     )
     p.add_argument(
         "--report", metavar="OUTDIR",
@@ -739,6 +742,27 @@ def main(argv: list[str] | None = None) -> int:
                 .select("__sid", F.lit(1).cast("long").alias("cluster_size"))
             )
             surv = clustered.unionByName(singles)
+        elif args.survivor_rule == "quality":
+            from vid_dup_finder_lib_spark.operators.dedup import (
+                priority_survivors,
+            )
+
+            # score = whitespace token count of the PIPELINE-processed
+            # text (res.docs — same text the export ships), i.e. keep the
+            # longest surviving extraction of each page; ties -> min id
+            scored_docs = res.docs.select(
+                F.col(args.id_col),
+                F.coalesce(
+                    whitespace_token_count(F.col(args.text_col)), F.lit(0)
+                ).cast("long").alias("__q"),
+            )
+            surv = priority_survivors(
+                scored_docs, cc, score_col="__q",
+                id_col=args.id_col, member_col="id",
+                cluster_col="cluster_id",
+            ).select(
+                F.col(args.id_col).alias("__sid"), "cluster_size"
+            )
         else:
             surv = neardup_survivors(
                 res.docs, cc, id_col=args.id_col, member_col="id",
@@ -770,11 +794,11 @@ def main(argv: list[str] | None = None) -> int:
             "n_tokens": agg["n_tokens"],
             "n_shards": agg["n_shards"],
             "shard_token_budget": args.shard_tokens,
-            "survivor_rule": (
-                "medoid (max incident edge mass) per cluster + singletons"
-                if args.survivor_rule == "medoid"
-                else "min member id per cluster + singletons"
-            ),
+            "survivor_rule": {
+                "medoid": "medoid (max incident edge mass) per cluster + singletons",
+                "quality": "max processed-token count per cluster (ties min id) + singletons",
+                "min-id": "min member id per cluster + singletons",
+            }[args.survivor_rule],
         }
         with open(os.path.join(args.emit_corpus, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
