@@ -2725,6 +2725,32 @@ def q_pair_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_verbatim_coverage(pairs, toks, k=8)
 
 
+def q_duplicate_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level ExactSubstr dedup (substring.duplicate_span_rewrite):
+    every duplicated >= 20-token span is cut from all but its globally-
+    first occurrence and the surviving text rewritten — Lee et al. 2022's
+    suffix-array pass as one O(total tokens) relational plan (gram agg +
+    join + per-doc interval union; no pair ever materialized).  Derived
+    corpus: base docs ∪ "quote" docs (+300000) that open with a verbatim
+    30-token quote of their base doc followed by a unique q-prefixed tail,
+    so ground truth is exact (quote docs lose the quote, canonical base
+    docs survive verbatim, natural cross-base dups resolve by min id)."""
+    from vid_dup_finder_lib_spark.operators.substring import duplicate_span_rewrite
+
+    tok = _tokens(_docs(spark, sf_dir))
+    quotes = tok.where(F.size("toks") >= 30).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.slice("toks", 1, 30),
+            F.transform("toks", lambda x: F.concat(F.lit("q"), x)),
+        ).alias("toks"),
+    )
+    derived = tok.unionByName(quotes).select(
+        "doc_id", F.array_join("toks", " ").alias("text")
+    )
+    return duplicate_span_rewrite(derived, k=20, id_col="doc_id", text_col="text")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2742,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     clustering_agreement, then r3-only rows, then r4-green rows."""
     return {
         # --- new this session (no driver row yet) ---
+        "duplicate_span_rewrite": q_duplicate_span_rewrite,
         "quality_dedup_survivors": q_quality_dedup_survivors,
         "jaccard_pairs_prefix_plan": q_jaccard_pairs_prefix_plan,
         # --- never driver-covered (r1-r4) ---
@@ -2876,6 +2903,63 @@ cc AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM walk GROUP BY id)
 """
 
     return {
+        "duplicate_span_rewrite": r"""
+WITH norm AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN []::VARCHAR[] ELSE string_split(norm, ' ') END AS toks
+  FROM norm
+),
+derived3 AS (
+  SELECT doc_id, toks FROM tok
+  UNION ALL
+  SELECT doc_id + 300000,
+         list_concat(list_slice(toks, 1, 30), list_transform(toks, x -> 'q' || x))
+  FROM tok WHERE len(toks) >= 30
+),
+occ AS (
+  SELECT d.doc_id, u.i - 1 AS pos,
+         array_to_string(list_slice(d.toks, u.i, u.i + 19), ' ') AS gram
+  FROM derived3 d, unnest(range(1, len(d.toks) - 18)) AS u(i)
+  WHERE len(d.toks) >= 20
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY gram) AS cnt
+  FROM occ
+),
+cover AS (
+  SELECT DISTINCT r.doc_id, u.p AS pos
+  FROM ranked r, unnest(range(r.pos, r.pos + 20)) AS u(p)
+  WHERE r.cnt >= 2 AND r.rn > 1
+),
+tokpos AS (
+  SELECT d.doc_id, u.i - 1 AS pos, d.toks[u.i] AS tok
+  FROM derived3 d, unnest(range(1, len(d.toks) + 1)) AS u(i)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tokpos t LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+         count(*) AS kept_cnt
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(d.toks)::BIGINT AS n_tokens,
+       (len(d.toks) - coalesce(a.kept_cnt, 0))::BIGINT AS removed_tokens,
+       coalesce(a.kept_text, '') AS kept_text,
+       ((len(d.toks) - coalesce(a.kept_cnt, 0)) * 1000000
+         // greatest(len(d.toks), 1))::BIGINT AS removed_ppm
+FROM derived3 d LEFT JOIN agg a USING (doc_id)
+""",
         "connected_components": prologue_r + sql_cc + "SELECT doc_id, cluster_id FROM cc",
         # the incremental path must equal from-scratch CC (star-contraction
         # identity) — same oracle as connected_components

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vid_dup_finder_lib_spark.functions import sigkernel as sk
+from vid_dup_finder_lib_spark.functions.text import normalize_text, tokens_col
 
 
 def _window_hash_batch(
@@ -359,6 +360,141 @@ def _interval_union_len(
         .agg((F.max("e") - F.min("s") + 1).alias("len"))
     )
     return per.groupBy(id1, id2).agg(F.sum("len").cast("long").alias(out))
+
+
+def duplicate_span_rewrite(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level verbatim-span dedup: remove every duplicated run of
+    >= k tokens from all but its globally-first occurrence, and rewrite
+    the surviving text (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022 — the ExactSubstr pass their suffix
+    array computes, re-expressed relationally).
+
+    Semantics (deterministic, mirrored 1:1 by the DuckDB oracle):
+
+    * every positional k-token gram is an occurrence ``(id, pos)``;
+    * a gram occurring >= 2 times anywhere (cross- OR intra-document) is
+      duplicated; its canonical occurrence is the minimum ``(id, pos)``;
+    * every NON-canonical occurrence of a duplicated gram covers token
+      interval ``[pos, pos + k - 1]``; per document the covered intervals
+      merge (interval union), and covered tokens are cut from the text.
+      A duplicated span of length R >= k is covered by all R - k + 1 of
+      its grams, so the whole maximal span disappears from non-canonical
+      copies while the canonical copy survives verbatim.  Spans shorter
+      than k are invisible by design (k is the noise floor — the
+      published pass uses 50 BPE tokens).
+
+    Scale shape — and why this, not the pair family, is the suffix-array
+    dedup path at 10^12 docs: the plan is O(total tokens) end to end.
+    Gram occurrences shuffle ONCE on the gram key into a map-side-
+    combinable agg (count + min-struct), join back once (AQE handles the
+    boilerplate-gram skew — the hot row fans out, it never pairs), the
+    interval merge windows per document (bounded by that doc's dup
+    occurrences), and the rewrite is a per-row codegen expression.  No
+    candidate pair is ever materialized, unlike substring_pairs whose
+    bucket join is quadratic in per-gram df.  Grams are keyed by md5
+    (128-bit; equality-preserving for the oracle, 4-8x narrower than the
+    raw k-token string on the shuffle wire).
+
+    Output: one row per input document —
+    ``(id, n_tokens, removed_tokens, kept_text, removed_ppm)`` with
+    ``removed_ppm`` via exact integral division (the repo's ppm rule).
+
+    Reference parity: the reference dedups whole videos and has no
+    sub-item rewrite; this extends its matchset "consume the duplicate"
+    semantics (matchset_fns.rs:37-120) to within-document spans, per the
+    north_star's suffix-array clause.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    toks = tokens_col(normalize_text(F.col(text_col)))
+    n = F.size(toks)
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__toks"),
+        n.cast("long").alias("n_tokens"),
+    )
+
+    gram_arr = F.when(
+        F.size("__toks") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select("__id", F.posexplode(gram_arr).alias("pos", "gram"))
+
+    # one shuffle on the gram key; both aggregates combine map-side, so the
+    # hottest boilerplate gram contributes one partial row per map task
+    stats = occ.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col("__id").alias("i"), F.col("pos").alias("p"))).alias("__canon"),
+    )
+    dup_occ = (
+        occ.join(stats.where(F.col("__cnt") >= 2), "gram")
+        .where(
+            ~((F.col("__id") == F.col("__canon.i")) & (F.col("pos") == F.col("__canon.p")))
+        )
+        .select("__id", F.col("pos").alias("s"), (F.col("pos") + k - 1).alias("e"))
+    )
+
+    # classic sort + sweep interval union, windowed per document (dup
+    # occurrences of one doc, never unpartitioned)
+    w = Window.partitionBy("__id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    grp = F.sum(
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    cuts = (
+        dup_occ.withColumn("__grp", grp)
+        .groupBy("__id", "__grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__cuts"))
+    )
+
+    merged = base.join(cuts, "__id", "left").withColumn(
+        "__cuts", F.coalesce("__cuts", F.array().cast("array<struct<s:long,e:long>>"))
+    )
+    with_pos = F.transform(
+        "__toks", lambda x, i: F.struct(x.alias("t"), i.cast("long").alias("i"))
+    )
+    kept = F.transform(
+        F.filter(
+            with_pos,
+            lambda st: ~F.exists(
+                "__cuts", lambda iv: (st["i"] >= iv["s"]) & (st["i"] <= iv["e"])
+            ),
+        ),
+        lambda st: st["t"],
+    )
+    removed = F.aggregate(
+        "__cuts",
+        F.lit(0).cast("long"),
+        lambda acc, iv: acc + iv["e"] - iv["s"] + F.lit(1),
+    )
+    return (
+        merged.select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            removed.alias("removed_tokens"),
+            F.array_join(kept, " ").alias("kept_text"),
+        )
+        .selectExpr(
+            id_col,
+            "n_tokens",
+            "removed_tokens",
+            "kept_text",
+            "cast((removed_tokens * 1000000) div greatest(n_tokens, 1) as long) as removed_ppm",
+        )
+    )
 
 
 def pair_verbatim_coverage(
