@@ -347,6 +347,68 @@ def test_job_cli_dedup_paragraphs(spark, tmp_path):
     assert rows["zz://b"]["text"].startswith("plus beta") or shared.split()[0] not in rows["zz://b"]["text"]
 
 
+def test_job_cli_dedup_spans(spark, tmp_path):
+    """--dedup-spans: the ExactSubstr rewrite runs as a checkpointed stage —
+    a 25-token quote duplicated across two docs survives only in the
+    lexicographically-first url's doc, removal counts are durable lineage,
+    and the rest of the pipeline still runs on the rewritten text."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=79)
+    cb.make_clusters(
+        num_clusters=1, first_size=4, size_step=0, intra_d=10, inter_d=200, doclen=400
+    )
+    docs = cb.to_spark(spark, partitions=2)
+    ts = docs.select("warc_ts").first()[0]
+    quote = " ".join(f"quoteword{i}" for i in range(25))
+    extra = spark.createDataFrame(
+        [
+            Row(url="zz://a", warc_ts=ts, html=bytearray(b""),
+                text=quote + " " + " ".join(f"alphatail{i}" for i in range(8)),
+                lang="en"),
+            Row(url="zz://b", warc_ts=ts, html=bytearray(b""),
+                text=quote + " " + " ".join(f"betatail{i}" for i in range(8)),
+                lang="en"),
+        ],
+        docs.schema,
+    )
+    docs_path = str(tmp_path / "docs")
+    docs.unionByName(extra).write.parquet(docs_path)
+    rc = job.main(
+        [
+            "--docs", docs_path,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--tolerance", "0.100",
+            "--dedup-spans", "--span-k", "20",
+        ]
+    )
+    assert rc == 0
+    stage = spark.read.parquet(str(tmp_path / "ckpt" / "docs_spans" / "data"))
+    rows = {r["url"]: r for r in stage.where(F.col("url").startswith("zz://")).collect()}
+    assert set(rows) == {"zz://a", "zz://b"}
+    # min url keeps the quote verbatim; the other loses exactly those 25 tokens
+    assert rows["zz://a"]["removed_tokens"] == 0
+    assert rows["zz://a"]["text"].startswith("quoteword0 ")
+    assert rows["zz://b"]["removed_tokens"] == 25
+    assert rows["zz://b"]["text"] == " ".join(f"betatail{i}" for i in range(8))
+    # corpus-global stage refuses to replay on an isolated batch
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="CORPUS-GLOBAL"):
+        job.main(
+            [
+                "--docs", docs_path,
+                "--checkpoint", str(tmp_path / "ckpt"),
+                "--incremental-add", docs_path,
+                "--output", str(tmp_path / "out_inc"),
+                "--dedup-spans",
+            ]
+        )
+
+
 def test_job_cli_decontam_stage(spark, tmp_path):
     """--decontam: training docs sharing a verbatim 13-gram with the
     benchmark corpus are dropped in a checkpointed stage; clean docs

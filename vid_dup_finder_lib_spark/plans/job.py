@@ -44,6 +44,11 @@ def _flag_extras(args) -> dict:
             else {}
         ),
         **(
+            {"dedup_spans": True, "span_k": args.span_k}
+            if args.dedup_spans
+            else {}
+        ),
+        **(
             {"decontam": True, "decontam_ngram": args.decontam_ngram}
             if args.decontam
             else {}
@@ -128,6 +133,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--paragraph-line-tokens", type=int, default=8, metavar="N",
         help="tokens per re-lined paragraph for --dedup-paragraphs (default 8)",
+    )
+    p.add_argument(
+        "--dedup-spans", action="store_true",
+        help="corpus-global ExactSubstr span dedup as a rewrite stage "
+             "before signature work (Lee et al. 2022: duplicated >= K-token "
+             "spans cut from all but the globally-first occurrence; "
+             "removal lineage durable in docs_spans)",
+    )
+    p.add_argument(
+        "--span-k", type=int, default=50, metavar="K",
+        help="minimum duplicated span length for --dedup-spans (default 50)",
     )
     p.add_argument(
         "--decontam", metavar="BENCHDOCS",
@@ -385,14 +401,16 @@ def main(argv: list[str] | None = None) -> int:
             args.canonicalize_urls
             or args.strip_boilerplate
             or args.dedup_paragraphs
+            or args.dedup_spans
         ):
             raise SystemExit(
                 "--merge-with supports per-doc preprocessing only: the "
                 "corpus-GLOBAL stages (URL revisit collapse, boilerplate "
-                "df counts, first-wins paragraph dedup) would have picked "
-                "different survivors on the union corpus than on each "
-                "shard — rerun the full pipeline over the union.  Per-doc "
-                "stages (--quality-gate, --decontam) compose and are fine"
+                "df counts, first-wins paragraph/span dedup) would have "
+                "picked different survivors on the union corpus than on "
+                "each shard — rerun the full pipeline over the union.  "
+                "Per-doc stages (--quality-gate, --decontam) compose and "
+                "are fine"
             )
 
         def _open_shard(root: str):
@@ -452,11 +470,12 @@ def main(argv: list[str] | None = None) -> int:
             or args.strip_boilerplate
             or args.quality_gate
             or args.dedup_paragraphs
+            or args.dedup_spans
         ):
             raise SystemExit(
                 "--incremental-add supports the raw-docs pipeline only: the "
-                "preprocessing stages (canonicalize/strip/quality/paragraph "
-                "dedup) are CORPUS-GLOBAL and cannot be replayed on an "
+                "preprocessing stages (canonicalize/strip/quality/paragraph/"
+                "span dedup) are CORPUS-GLOBAL and cannot be replayed on an "
                 "isolated batch — rerun the full pipeline (its signature "
                 "stage is already O(delta))"
             )
@@ -624,6 +643,8 @@ def main(argv: list[str] | None = None) -> int:
         quality_min_tokens=args.quality_min_tokens,
         dedup_paragraphs=args.dedup_paragraphs,
         paragraph_line_tokens=args.paragraph_line_tokens,
+        dedup_spans=args.dedup_spans,
+        span_k=args.span_k,
         decontam_docs=(
             spark.read.parquet(args.decontam) if args.decontam else None
         ),

@@ -62,6 +62,8 @@ def run_dedup_pipeline(
     quality_min_tokens: int = 50,
     dedup_paragraphs: bool = False,
     paragraph_line_tokens: int = 8,
+    dedup_spans: bool = False,
+    span_k: int = 50,
     decontam_docs: DataFrame | None = None,
     decontam_ngram: int = 13,
     reload_errors: bool = False,
@@ -120,6 +122,9 @@ def run_dedup_pipeline(
     if dedup_paragraphs:
         extra_fp["dedup_paragraphs"] = True
         extra_fp["paragraph_line_tokens"] = paragraph_line_tokens
+    if dedup_spans:
+        extra_fp["dedup_spans"] = True
+        extra_fp["span_k"] = span_k
     if decontam_docs is not None:
         extra_fp["decontam"] = True
         extra_fp["decontam_ngram"] = decontam_ngram
@@ -257,6 +262,38 @@ def run_dedup_pipeline(
         docs = store.run_stage(
             spark, "docs_paragraphs", _para_dedup, upstream=["docs"], force=force
         ).drop("n_lines", "n_kept")
+
+    if dedup_spans:
+        from pyspark.sql import functions as F
+
+        from vid_dup_finder_lib_spark.operators.substring import (
+            duplicate_span_rewrite,
+        )
+
+        def _span_dedup():
+            # ExactSubstr rewrite stage (Lee et al. ACL 2022): every
+            # duplicated >= span_k-token span is cut from all but its
+            # globally-first occurrence.  The kept text is rebuilt from
+            # NORMALIZED tokens (lower + whitespace-collapse — the same
+            # canonicalization the signature kernel applies next), and the
+            # removal lineage (n_tokens, removed_tokens) is durable in the
+            # stage table, never silent.  Corpus-GLOBAL like the paragraph
+            # stage: the same ordering interaction applies (a mostly-
+            # whole-document-dup corpus should span-dedup AFTER the
+            # near-dup pass, passage-level duplication before).
+            out = duplicate_span_rewrite(
+                docs, k=span_k, id_col=id_col, text_col=text_col
+            )
+            return out.select(
+                F.col(id_col),
+                F.col("kept_text").alias(text_col),
+                "n_tokens",
+                "removed_tokens",
+            ).join(docs.select(id_col, ts_col), id_col)
+
+        docs = store.run_stage(
+            spark, "docs_spans", _span_dedup, upstream=["docs"], force=force
+        ).drop("n_tokens", "removed_tokens")
 
     if decontam_docs is not None:
         from pyspark.sql import functions as F
