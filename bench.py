@@ -160,10 +160,13 @@ def main() -> None:
         "source_overlap_matrix",
         "clustering_agreement",
         "cluster_size_histogram",
-        # round-5 graduates: the blocked exact embedding join and the
-        # char-unit incremental fold
+        # round-5 graduates: the blocked exact embedding join, the
+        # char-unit incremental fold, the quality survivor rule, and the
+        # corpus-level ExactSubstr span rewrite
         "embedding_neardup",
         "char_incremental_cc",
+        "quality_dedup_survivors",
+        "duplicate_span_rewrite",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}
