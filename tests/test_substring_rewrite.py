@@ -66,13 +66,15 @@ def test_short_spans_and_short_docs_invisible(spark):
         (2, shared + " " + _words("b", 15)),
         (3, _words("tiny", 5)),
         (4, ""),
+        (5, None),  # null text == empty text (kernel fill_null contract)
     ]
     out = _by_id(duplicate_span_rewrite(_mk(spark, rows), k=20, id_col="doc_id"))
-    for i in (1, 2, 3, 4):
+    for i in (1, 2, 3, 4, 5):
         assert out[i]["removed_tokens"] == 0
         assert out[i]["removed_ppm"] == 0
     assert out[3]["kept_text"] == _words("tiny", 5)
     assert out[4]["n_tokens"] == 0 and out[4]["kept_text"] == ""
+    assert out[5]["n_tokens"] == 0 and out[5]["kept_text"] == ""
 
 
 def test_overlapping_spans_merge_without_double_count(spark):

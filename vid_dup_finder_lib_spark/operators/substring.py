@@ -414,7 +414,8 @@ def duplicate_span_rewrite(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
 
-    toks = tokens_col(normalize_text(F.col(text_col)))
+    # null text == empty text (the Arrow kernel's fill_null contract)
+    toks = tokens_col(normalize_text(F.coalesce(F.col(text_col), F.lit(""))))
     n = F.size(toks)
     base = docs.select(
         F.col(id_col).alias("__id"),
