@@ -264,6 +264,30 @@ def test_priority_survivors_semantics(spark):
     assert got == {3: (3, 90), 2: (2, 40), 0: (1, 10), 4: (1, 7), 7: (1, 3)}
 
 
+def test_priority_survivors_null_scores(spark):
+    """Null score ranks BELOW every real score; an all-null cluster falls
+    back to min id with score null instead of silently emitting no
+    survivor (score == max(score) is NULL for such clusters — the bug the
+    sentinel ordering key exists to prevent)."""
+    from vid_dup_finder_lib_spark.operators.dedup import priority_survivors
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, 5), (3, None), (4, None), (5, None), (6, 8)],
+        "doc_id long, quality long",
+    )
+    # cluster 10 = {1,2}: null vs 5 -> 2 wins
+    # cluster 20 = {3,4}: ALL null -> min id 3 survives, score null
+    cc = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20)],
+        "doc_id long, cluster_id long",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_size"], r["score"])
+        for r in priority_survivors(docs, cc, score_col="quality").collect()
+    }
+    assert got == {2: (2, 5), 3: (2, None), 5: (1, None), 6: (1, 8)}
+
+
 def test_priority_survivors_partitioning_invariance(spark):
     from vid_dup_finder_lib_spark.operators.dedup import priority_survivors
 
