@@ -130,6 +130,33 @@ def test_consistency_removed_equals_token_delta(spark):
     assert all(r["delta"] == 0 for r in chk.collect())
 
 
+def test_preserve_case_matches_insensitively_rebuilds_faithfully(spark):
+    """Case-variant copies of a span still count as duplicates, but the
+    surviving text keeps its ORIGINAL case; the doc holding the canonical
+    occurrence is untouched byte-for-byte (modulo whitespace collapse)."""
+    quote_lower = _words("s", 25)
+    quote_upper = quote_lower.upper()
+    rows = [
+        (1, quote_upper + " " + "Alpha Tail One Two"),
+        (2, "Beta Head " + quote_lower + " Gamma Tail"),
+    ]
+    out = _by_id(
+        duplicate_span_rewrite(
+            _mk(spark, rows), k=20, id_col="doc_id", preserve_case=True
+        )
+    )
+    # doc 1 canonical: keeps the UPPER quote verbatim
+    assert out[1]["removed_tokens"] == 0
+    assert out[1]["kept_text"] == rows[0][1]
+    # doc 2 loses the lower-case variant, keeps its own mixed-case words
+    assert out[2]["removed_tokens"] == 25
+    assert out[2]["kept_text"] == "Beta Head Gamma Tail"
+    # default mode lowercases the rebuilt text but removes the same spans
+    norm = _by_id(duplicate_span_rewrite(_mk(spark, rows), k=20, id_col="doc_id"))
+    assert norm[2]["removed_tokens"] == 25
+    assert norm[2]["kept_text"] == "beta head gamma tail"
+
+
 def test_k_validation(spark):
     with pytest.raises(ValueError, match="k must be >= 2"):
         duplicate_span_rewrite(_mk(spark, [(1, "a b")]), k=1, id_col="doc_id")

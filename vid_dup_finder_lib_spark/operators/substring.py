@@ -367,6 +367,7 @@ def duplicate_span_rewrite(
     k: int,
     id_col: str = "url",
     text_col: str = "text",
+    preserve_case: bool = False,
 ) -> DataFrame:
     """Corpus-level verbatim-span dedup: remove every duplicated run of
     >= k tokens from all but its globally-first occurrence, and rewrite
@@ -404,6 +405,16 @@ def duplicate_span_rewrite(
     ``(id, n_tokens, removed_tokens, kept_text, removed_ppm)`` with
     ``removed_ppm`` via exact integral division (the repo's ppm rule).
 
+    ``preserve_case=True``: duplication is still judged on the NORMALIZED
+    (lowercased) token stream — "Foo Bar" and "foo bar" are the same span,
+    the same rule every signature operator here applies — but the
+    surviving text is rebuilt from the ORIGINAL-case tokens (whitespace
+    still collapses to single spaces: token positions must line up with
+    the gram positions).  This is the published pass's behavior (the
+    suffix array is built over the raw bytes of kept text); the default
+    ``False`` emits normalized text like the other rewrite stages
+    (paragraph dedup) and is what the oracle twin mirrors.
+
     Reference parity: the reference dedups whole videos and has no
     sub-item rewrite; this extends its matchset "consume the duplicate"
     semantics (matchset_fns.rs:37-120) to within-document spans, per the
@@ -415,7 +426,18 @@ def duplicate_span_rewrite(
         raise ValueError(f"k must be >= 2, got {k}")
 
     # null text == empty text (the Arrow kernel's fill_null contract)
-    toks = tokens_col(normalize_text(F.coalesce(F.col(text_col), F.lit(""))))
+    filled = F.coalesce(F.col(text_col), F.lit(""))
+    if preserve_case:
+        # same whitespace collapse as normalize_text, NO lowercase; the
+        # gram key lowercases at comparison time so positions align 1:1
+        # with the normalized stream (lowercase is per-char, so
+        # lower(concat(toks)) == concat(lower(toks)))
+        collapsed = F.trim(F.regexp_replace(filled, r"[ \t\n\r\f\x0B]+", " "))
+        toks = F.when(
+            F.length(collapsed) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(collapsed, " "))
+    else:
+        toks = tokens_col(normalize_text(filled))
     n = F.size(toks)
     base = docs.select(
         F.col(id_col).alias("__id"),
@@ -423,12 +445,14 @@ def duplicate_span_rewrite(
         n.cast("long").alias("n_tokens"),
     )
 
+    gram_key = (
+        (lambda i: F.md5(F.lower(F.concat_ws(" ", F.slice("__toks", i + 1, k)))))
+        if preserve_case
+        else (lambda i: F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, k))))
+    )
     gram_arr = F.when(
         F.size("__toks") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("__toks") - k),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, k))),
-        ),
+        F.transform(F.sequence(F.lit(0), F.size("__toks") - k), gram_key),
     ).otherwise(F.array().cast("array<string>"))
     occ = base.select("__id", F.posexplode(gram_arr).alias("pos", "gram"))
 
