@@ -2725,6 +2725,39 @@ def q_pair_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_verbatim_coverage(pairs, toks, k=8)
 
 
+# 36 Han chars paired 1:1 with [a-z0-9] for the script-profile derived
+# corpus (translate() in BOTH engines maps codepoint-for-codepoint)
+_LAT36 = "abcdefghijklmnopqrstuvwxyz0123456789"
+_HAN36 = "一二三四五六七八九十百千万上下左右中大小山川日月水火木金土田人口心手足目"
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Unicode-script histogram + space-free flag
+    (functions.textstats.script_profile_components): the observability
+    surface behind ``api.resolve_signature_unit`` / ``unit="auto"`` —
+    zh/ja/th-style spaceless pages trip the char-granularity vote, spaced
+    scripts do not.  Derived corpus: base docs ∪ de-spaced Han-translated
+    copies (+400000, [a-z0-9] → 36 Han codepoints), so both branches of
+    the rule carry signal."""
+    from vid_dup_finder_lib_spark.functions.textstats import (
+        script_profile_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        normalize_text(F.col("text")).alias("norm"),
+    )
+    hanned = base.select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.translate(F.regexp_replace("norm", " ", ""), _LAT36, _HAN36).alias("norm"),
+    )
+    comps = script_profile_components(F.col("norm"))
+    return base.unionByName(hanned).select(
+        "doc_id", *[v.alias(k) for k, v in comps.items()]
+    )
+
+
 def q_duplicate_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level ExactSubstr dedup (substring.duplicate_span_rewrite):
     every duplicated >= 20-token span is cut from all but its globally-
@@ -2769,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this session (no driver row yet) ---
         "duplicate_span_rewrite": q_duplicate_span_rewrite,
+        "script_profile": q_script_profile,
         "quality_dedup_survivors": q_quality_dedup_survivors,
         "jaccard_pairs_prefix_plan": q_jaccard_pairs_prefix_plan,
         # --- never driver-covered (r1-r4) ---
@@ -2902,7 +2936,37 @@ walk(id, r) AS (
 cc AS (SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM walk GROUP BY id)
 """
 
+    script_profile_sql = r"""
+WITH norm AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS norm
+  FROM documents
+),
+derived4 AS (
+  SELECT doc_id, norm FROM norm
+  UNION ALL
+  SELECT doc_id + 400000, translate(replace(norm, ' ', ''), '@LAT@', '@HAN@')
+  FROM norm
+)
+SELECT doc_id,
+  length(norm)::BIGINT AS n_chars,
+  (length(norm) - length(replace(norm, ' ', '')))::BIGINT AS n_spaces,
+  (length(norm) - length(regexp_replace(norm, '\p{Latin}', '', 'g')))::BIGINT AS latin_chars,
+  (length(norm) - length(regexp_replace(norm, '\p{Han}', '', 'g')))::BIGINT AS han_chars,
+  (length(norm) - length(regexp_replace(norm, '\p{Hiragana}', '', 'g')))::BIGINT AS hiragana_chars,
+  (length(norm) - length(regexp_replace(norm, '\p{Katakana}', '', 'g')))::BIGINT AS katakana_chars,
+  (length(norm) - length(regexp_replace(norm, '\p{Hangul}', '', 'g')))::BIGINT AS hangul_chars,
+  (length(norm) - length(regexp_replace(norm, '\p{Thai}', '', 'g')))::BIGINT AS thai_chars,
+  (length(norm) - length(regexp_replace(norm, '\p{Arabic}', '', 'g')))::BIGINT AS arabic_chars,
+  (length(norm) - length(regexp_replace(norm, '\p{Cyrillic}', '', 'g')))::BIGINT AS cyrillic_chars,
+  (length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')))::BIGINT AS digit_chars,
+  (CASE WHEN (length(norm) - length(replace(norm, ' ', ''))) * 20 < length(norm)
+             AND length(norm) > 0 THEN 1 ELSE 0 END)::BIGINT AS space_free
+FROM derived4
+""".replace("@LAT@", _LAT36).replace("@HAN@", _HAN36)
+
     return {
+        "script_profile": script_profile_sql,
         "duplicate_span_rewrite": r"""
 WITH norm AS (
   SELECT doc_id::BIGINT AS doc_id,

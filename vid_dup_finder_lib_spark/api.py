@@ -45,6 +45,52 @@ def _materialize(df: DataFrame, enabled: bool) -> DataFrame:
     return df.localCheckpoint(eager=True) if enabled else df
 
 
+def resolve_signature_unit(
+    docs: DataFrame, text_col: str = "text", sample_mod: int = 64
+) -> str:
+    """Corpus probe behind ``unit="auto"``: char granularity iff the
+    majority of (sampled) docs are space-free.
+
+    Deterministic and partitioning-invariant: the sample keys on
+    ``xxhash64(text) % sample_mod == 0`` — content, not row placement —
+    and the vote is the integer space-free rule from
+    :func:`functions.textstats.script_profile_components` (fewer than one
+    space per 20 chars; empty docs never vote char).  If the sample
+    catches zero docs (corpus smaller than ~``sample_mod``), the probe
+    falls back to scanning every doc — tiny corpora cost nothing anyway.
+
+    Scale shape: one projected scan of ~1/64 of the text column folding
+    into a single two-long aggregate — the price of a config decision,
+    paid once before any signature work.  The checkpointed pipeline and
+    the persistent stores do NOT accept "auto": their fingerprints must
+    record the unit explicitly (a probe re-run over a GROWN corpus could
+    flip the answer and silently mix granularities; the store refuses
+    unit flips by fingerprint instead).
+    """
+    from vid_dup_finder_lib_spark.functions.textstats import (
+        script_profile_components,
+    )
+
+    flag = script_profile_components(F.col(text_col))["space_free"]
+    sampled = docs.where(
+        F.pmod(F.xxhash64(F.coalesce(F.col(text_col), F.lit(""))), sample_mod) == 0
+    )
+    row = sampled.select(
+        F.count(F.lit(1)).alias("n"), F.sum(flag).alias("sf")
+    ).collect()[0]
+    if row["n"] == 0:
+        row = docs.select(
+            F.count(F.lit(1)).alias("n"), F.sum(flag).alias("sf")
+        ).collect()[0]
+    if row["n"] == 0:
+        return "token"
+    return "char" if 2 * row["sf"] > row["n"] else "token"
+
+
+def _resolve_unit(docs: DataFrame, text_col: str, unit: str) -> str:
+    return resolve_signature_unit(docs, text_col) if unit == "auto" else unit
+
+
 def find_edges(
     docs: DataFrame,
     tolerance: float,
@@ -60,7 +106,10 @@ def find_edges(
     ``unit="char"`` switches the whole chain to character granularity
     (build_signatures' unsegmented-script mode) — tolerance radius and
     length band then operate on character counts, the right domain for
-    spaceless zh/ja/th text."""
+    spaceless zh/ja/th text.  ``unit="auto"`` probes the corpus first
+    (:func:`resolve_signature_unit`) and picks char iff the majority of
+    sampled docs are space-free."""
+    unit = _resolve_unit(docs, text_col, unit)
     sigs = signatures if signatures is not None else build_signatures(
         docs, cfg, id_col, text_col, unit=unit
     )
@@ -697,6 +746,7 @@ def dedup_corpus(
     if score_col is not None and score_col not in docs.columns:
         raise ValueError(f"score_col {score_col!r} not in docs columns")
     tol = cfg.default_tolerance if tolerance is None else tolerance
+    unit = _resolve_unit(docs, text_col, unit)
     # verification is the reference's tolerance radius either way; the
     # medoid rule additionally needs per-edge Jaccard mass, attached via a
     # 0-threshold predicate (a no-op filter) — the heavier shingle shuffle

@@ -61,6 +61,49 @@ def langid_heuristic(text: Column) -> Column:
     return best_lang
 
 
+# Unicode-script classes for the per-doc script profile.  Spark compiles
+# Java regex (`\p{IsHan}`); the DuckDB oracle writes the RE2 spelling
+# (`\p{Han}`) for the same Unicode Script property — both count the same
+# codepoints on the BMP ranges web text lives in.
+SCRIPT_CLASSES = [
+    ("latin", r"\p{IsLatin}"),
+    ("han", r"\p{IsHan}"),
+    ("hiragana", r"\p{IsHiragana}"),
+    ("katakana", r"\p{IsKatakana}"),
+    ("hangul", r"\p{IsHangul}"),
+    ("thai", r"\p{IsThai}"),
+    ("arabic", r"\p{IsArabic}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("digit", r"[0-9]"),
+]
+
+
+def script_profile_components(text: Column) -> dict[str, Column]:
+    """Per-doc Unicode-script histogram + the space-free flag that routes
+    unsegmented scripts to char-granularity signatures.
+
+    Counts are length-after-strip (``len(norm) - len(regexp_replace(norm,
+    class, ''))``) over the NORMALIZED text — pure codegen, one regex per
+    class, exactly reproducible in ANSI SQL.  ``space_free`` is the
+    integer rule ``n_spaces * 20 < n_chars AND n_chars > 0`` (fewer than
+    one space per 20 characters): zh/ja/th pages trip it, every spaced
+    script does not, and the EMPTY doc does not (it must not vote for
+    char granularity in :func:`api.resolve_signature_unit`).
+    """
+    norm = normalize_text(F.coalesce(text, F.lit("")))
+    n_chars = F.length(norm).cast("long")
+    n_spaces = (F.length(norm) - F.length(F.regexp_replace(norm, " ", ""))).cast("long")
+    out: dict[str, Column] = {"n_chars": n_chars, "n_spaces": n_spaces}
+    for name, pattern in SCRIPT_CLASSES:
+        out[f"{name}_chars"] = (
+            F.length(norm) - F.length(F.regexp_replace(norm, pattern, ""))
+        ).cast("long")
+    out["space_free"] = (
+        ((n_spaces * 20 < n_chars) & (n_chars > 0)).cast("long")
+    )
+    return out
+
+
 def quality_score_components(text: Column) -> dict[str, Column]:
     """Integer quality sub-scores (exact, SQL-reproducible):
     n_tokens, n_chars, punct_chars, upper_chars, stopword hits (en),
