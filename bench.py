@@ -167,6 +167,7 @@ def main() -> None:
         "char_incremental_cc",
         "quality_dedup_survivors",
         "duplicate_span_rewrite",
+        "script_profile",
     ]
     qs = entry.queries()
     extras: dict[str, float] = {}
