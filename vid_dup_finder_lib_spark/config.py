@@ -87,6 +87,17 @@ class SigConfig:
         """tolerance in [0,1] -> integer radius, as search_algorithm.rs:64."""
         return int(tolerance * TOLERANCE_SCALING_FACTOR)
 
+    @classmethod
+    def for_threshold(
+        cls, j_threshold: float, min_recall: float = 0.99, **kwargs
+    ) -> "SigConfig":
+        """A SigConfig whose banding is planned by :func:`plan_lsh_bands`
+        for the given Jaccard verify threshold — the "what config do I
+        use" entry point (RECALL.md measures the same trade empirically)."""
+        num_perms = kwargs.pop("num_perms", 128)
+        bands, _rows = plan_lsh_bands(j_threshold, min_recall, num_perms)
+        return cls(num_perms=num_perms, lsh_bands=bands, **kwargs)
+
     def fingerprint(self) -> str:
         """Stable hash of every semantics-affecting knob.
 
@@ -96,6 +107,52 @@ class SigConfig:
         """
         payload = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
+
+
+def plan_lsh_bands(
+    j_threshold: float, min_recall: float = 0.99, num_perms: int = 128
+) -> tuple[int, int]:
+    """Cheapest LSH banding meeting a candidate-recall floor at a Jaccard
+    verify threshold.  Returns ``(bands, rows)`` with ``bands * rows ==
+    num_perms``.
+
+    Candidate recall of (b bands × r rows) at similarity J is the
+    classic ``1 - (1 - J^r)^b``.  Cost falls as r grows — fewer band keys
+    per doc in the self-join explode AND background collisions decay as
+    J_background^r (the dominant term in bucket sizes over web text) — so
+    the planner picks the LARGEST r (over the divisors of ``num_perms``)
+    whose recall at the threshold still clears ``min_recall``: the
+    cheapest geometry that is still safe.  Pairs ABOVE the threshold only
+    have higher recall; the floor binds at the threshold itself.
+
+    Raises if no divisor geometry reaches the floor (thresholds so low
+    that even r=1's ``1-(1-J)^num_perms`` misses — raise ``num_perms`` or
+    lower the floor explicitly; no silent fallback).  The measured
+    counterpart of this formula is RECALL.md's (perms, bands) sweep; the
+    default library geometry (128 perms, 64×2 at the J=0.4 oracle
+    threshold, 32×4 at the default tolerance) is exactly what this
+    planner returns for those inputs.
+    """
+    if not (0.0 < j_threshold <= 1.0):
+        raise ValueError(f"j_threshold must be in (0, 1], got {j_threshold}")
+    if not (0.0 < min_recall < 1.0):
+        raise ValueError(f"min_recall must be in (0, 1), got {min_recall}")
+    best: tuple[int, int] | None = None
+    for rows in range(num_perms, 0, -1):
+        if num_perms % rows:
+            continue
+        bands = num_perms // rows
+        recall = 1.0 - (1.0 - j_threshold**rows) ** bands
+        if recall >= min_recall:
+            best = (bands, rows)
+            break
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) over {num_perms} perms reaches recall "
+            f"{min_recall} at J={j_threshold}; raise num_perms or lower "
+            "the floor"
+        )
+    return best
 
 
 DEFAULT_CONFIG = SigConfig()
