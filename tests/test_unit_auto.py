@@ -52,6 +52,25 @@ def test_probe_empty_and_null_corpus_defaults_token(spark):
     assert api.resolve_signature_unit(nulls, "text") == "token"
 
 
+def test_refs_search_char_unit(spark):
+    """search_with_references serves unsegmented corpora: unit='auto'
+    probes the candidate side and equals the explicit char run."""
+    from vid_dup_finder_lib_spark.config import SigConfig
+
+    cfg = SigConfig(lsh_bands=64)
+    cands = _spaceless_docs(spark, n=10, length=400, seed=11)
+    refs = cands.where(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 500).alias("doc_id"),
+        F.concat(F.lit("zz"), F.substring("text", 3, 10_000)).alias("text"),
+    )
+    kw = dict(tolerance=0.3, cfg=cfg, id_col="doc_id")
+    auto = sorted(map(tuple, api.search_with_references(
+        refs, cands, unit="auto", **kw).select("ref_id", "cand_id").collect()))
+    char = sorted(map(tuple, api.search_with_references(
+        refs, cands, unit="char", **kw).select("ref_id", "cand_id").collect()))
+    assert auto == char and len(auto) >= 3
+
+
 def test_auto_equals_explicit_unit_end_to_end(spark):
     from vid_dup_finder_lib_spark.config import SigConfig
 

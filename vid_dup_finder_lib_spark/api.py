@@ -167,6 +167,7 @@ def search_with_references(
     cfg: SigConfig = DEFAULT_CONFIG,
     id_col: str = "url",
     text_col: str = "text",
+    unit: str = "token",
 ) -> DataFrame:
     """Refs-vs-cands search (J3): for each reference doc, every candidate
     within tolerance and the ±5 % length band.  No consume — a candidate may
@@ -175,12 +176,21 @@ def search_with_references(
     is an equi-join).
 
     Returns (ref_id, cand_id, token_hamming).
+
+    ``unit`` as in :func:`find_edges`; both sides MUST share one
+    granularity (the signatures are joined), so ``"auto"`` probes the
+    CANDIDATE corpus (the big side — the refs follow its script).
     """
     tol = cfg.default_tolerance if tolerance is None else tolerance
+    unit = _resolve_unit(cand_docs, text_col, unit)
     # both signature tables feed two consumers each (band keys + the verify
     # attach join): materialize or the Arrow stage re-executes per consumer
-    ref_sigs = _materialize(build_signatures(ref_docs, cfg, id_col, text_col), True)
-    cand_sigs = _materialize(build_signatures(cand_docs, cfg, id_col, text_col), True)
+    ref_sigs = _materialize(
+        build_signatures(ref_docs, cfg, id_col, text_col, unit=unit), True
+    )
+    cand_sigs = _materialize(
+        build_signatures(cand_docs, cfg, id_col, text_col, unit=unit), True
+    )
     return refs_edges_from_signatures(ref_sigs, cand_sigs, tol, cfg)
 
 
