@@ -140,6 +140,10 @@ def search(
     ``strip_boilerplate`` runs the optional pre-signature letterbox-crop
     analog (operators/boilerplate.py) — off by default, matching the
     reference CLI's ``Cropdetect::None`` default (arg_parse.rs:543-547).
+
+    ``unit``: ``"token"`` | ``"char"`` | ``"auto"`` as in
+    :func:`find_edges`; with ``strip_boilerplate`` the auto probe runs
+    over the STRIPPED text (the stream the signatures see).
     """
     tol = cfg.default_tolerance if tolerance is None else tolerance
     if strip_boilerplate:
@@ -737,6 +741,10 @@ def dedup_corpus(
       (e.g. precomputed from functions.textstats.quality_score_components);
       when None the score defaults to the character length of ``text_col``
       — the longest-extraction rule.  Ties break to the minimum id.
+
+    ``unit``: ``"token"`` | ``"char"`` | ``"auto"`` as in
+    :func:`find_edges` (auto probes the corpus via
+    :func:`resolve_signature_unit`).
 
     Always cc grouping (matchset groups can overlap — not a partition).
     """
