@@ -36,6 +36,7 @@ Round-2 methodology (VERDICT r1 item 4):
 
 Run:  python tools/scale_bench.py [sf_dir] [out_md]
 Env:  SCALE_N (4), SCALE_TRIALS (3), SCALE_AMPLIFY (7), SCALE_REPEAT (16),
+      SCALE_CHILD_TIMEOUT (3600),
       SCALE_RUNS (3), QUIET_FRAC (0.7), QUIET_TRIES (6)
 """
 
@@ -56,6 +57,10 @@ REPEAT = int(os.environ.get("SCALE_REPEAT", "16"))
 RUNS_PER_CHILD = int(os.environ.get("SCALE_RUNS", "3"))
 QUIET_FRAC = float(os.environ.get("QUIET_FRAC", "0.7"))
 QUIET_TRIES = int(os.environ.get("QUIET_TRIES", "6"))
+# per-child wall ceiling: the low-N child at large SCALE_AMPLIFY overruns
+# the old fixed 3600 s (prep + warmup + RUNS measured walls all scale with
+# input; the 16x point needs ~55 min at local[2])
+CHILD_TIMEOUT = int(os.environ.get("SCALE_CHILD_TIMEOUT", "3600"))
 # DVFS equalization: burn processes run alongside the low-N child so both
 # levels execute at the same active-core count (same clocks).  The quiet-box
 # pathology this controls for: at N=2 the kernel burns ~33 CPU-sec for work
@@ -341,7 +346,7 @@ def run_once(cpus: int, sf_dir: str, ballast: int = 0) -> dict:
         out = subprocess.run(
             [sys.executable, "-c", CHILD, str(cpus), sf_dir, str(AMPLIFY),
              str(REPEAT), str(RUNS_PER_CHILD), str(PART), str(ADVISORY_MB)],
-            capture_output=True, text=True, timeout=3600,
+            capture_output=True, text=True, timeout=CHILD_TIMEOUT,
         )
     finally:
         if procs:
