@@ -2758,6 +2758,31 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_span_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explain view of the span rewrite (substring.duplicate_span_sources):
+    one row per maximal duplicated run per (doc, canonical source,
+    diagonal) — where each cut span came from.  Same planted-quote derived
+    corpus as duplicate_span_rewrite, so ground truth is the quote doc
+    pointing at its base doc's offset 0 (plus whatever natural cross-base
+    duplication the corpus carries, mirrored by the twin)."""
+    from vid_dup_finder_lib_spark.operators.substring import (
+        duplicate_span_sources,
+    )
+
+    tok = _tokens(_docs(spark, sf_dir))
+    quotes = tok.where(F.size("toks") >= 30).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.slice("toks", 1, 30),
+            F.transform("toks", lambda x: F.concat(F.lit("q"), x)),
+        ).alias("toks"),
+    )
+    derived = tok.unionByName(quotes).select(
+        "doc_id", F.array_join("toks", " ").alias("text")
+    )
+    return duplicate_span_sources(derived, k=20, id_col="doc_id", text_col="text")
+
+
 def q_duplicate_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level ExactSubstr dedup (substring.duplicate_span_rewrite):
     every duplicated >= 20-token span is cut from all but its globally-
@@ -2802,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this session (no driver row yet) ---
         "duplicate_span_rewrite": q_duplicate_span_rewrite,
+        "duplicate_span_sources": q_duplicate_span_sources,
         "script_profile": q_script_profile,
         "quality_dedup_survivors": q_quality_dedup_survivors,
         "jaccard_pairs_prefix_plan": q_jaccard_pairs_prefix_plan,
@@ -2965,8 +2991,59 @@ SELECT doc_id,
 FROM derived4
 """.replace("@LAT@", _LAT36).replace("@HAN@", _HAN36)
 
+    span_sources_sql = r"""
+WITH norm AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN []::VARCHAR[] ELSE string_split(norm, ' ') END AS toks
+  FROM norm
+),
+derived3 AS (
+  SELECT doc_id, toks FROM tok
+  UNION ALL
+  SELECT doc_id + 300000,
+         list_concat(list_slice(toks, 1, 30), list_transform(toks, x -> 'q' || x))
+  FROM tok WHERE len(toks) >= 30
+),
+occ AS (
+  SELECT d.doc_id, u.i - 1 AS pos,
+         array_to_string(list_slice(d.toks, u.i, u.i + 19), ' ') AS gram
+  FROM derived3 d, unnest(range(1, len(d.toks) - 18)) AS u(i)
+  WHERE len(d.toks) >= 20
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY gram) AS cnt,
+         first_value(doc_id) OVER (PARTITION BY gram ORDER BY doc_id, pos) AS src_id,
+         first_value(pos) OVER (PARTITION BY gram ORDER BY doc_id, pos) AS src_pos
+  FROM occ
+),
+dup AS (
+  SELECT doc_id, pos, src_id, src_pos FROM ranked WHERE cnt >= 2 AND rn > 1
+),
+isl AS (
+  SELECT doc_id, pos, src_id, src_pos,
+         pos - row_number() OVER (
+           PARTITION BY doc_id, src_id, pos - src_pos ORDER BY pos) AS g
+  FROM dup
+)
+SELECT doc_id,
+       min(pos)::BIGINT AS start,
+       (count(*) + 19)::BIGINT AS span_tokens,
+       src_id,
+       min(src_pos)::BIGINT AS src_start
+FROM isl
+GROUP BY doc_id, src_id, pos - src_pos, g
+"""
+
     return {
         "script_profile": script_profile_sql,
+        "duplicate_span_sources": span_sources_sql,
         "duplicate_span_rewrite": r"""
 WITH norm AS (
   SELECT doc_id::BIGINT AS doc_id,

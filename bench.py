@@ -167,6 +167,7 @@ def main() -> None:
         "char_incremental_cc",
         "quality_dedup_survivors",
         "duplicate_span_rewrite",
+        "duplicate_span_sources",
         "script_profile",
     ]
     qs = entry.queries()

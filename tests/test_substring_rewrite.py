@@ -157,6 +157,59 @@ def test_preserve_case_matches_insensitively_rebuilds_faithfully(spark):
     assert norm[2]["kept_text"] == "beta head gamma tail"
 
 
+def test_span_sources_points_at_canonical(spark):
+    """duplicate_span_sources: the quote doc reports one maximal span per
+    source with the canonical (id, offset); the canonical doc reports
+    nothing."""
+    from vid_dup_finder_lib_spark.operators.substring import (
+        duplicate_span_sources,
+    )
+
+    quote = _words("s", 25)
+    rows = [
+        (1, quote + " " + _words("a", 10)),
+        (2, _words("b", 10) + " " + quote + " " + _words("c", 10)),
+    ]
+    out = duplicate_span_sources(_mk(spark, rows), k=20, id_col="doc_id").collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r == {
+        "doc_id": 2, "start": 10, "span_tokens": 25,
+        "src_id": 1, "src_start": 0,
+    }
+
+
+def test_span_sources_cover_exactly_what_rewrite_removes(spark):
+    """Invariant: per doc, the interval union of the reported spans equals
+    the token count the rewrite removed — the explain view and the rewrite
+    describe the same cuts."""
+    from vid_dup_finder_lib_spark.operators.substring import (
+        duplicate_span_sources,
+    )
+
+    base = _words("s", 40)
+    toks = base.split(" ")
+    rows = [
+        (1, base + " " + _words("a", 5)),
+        (2, " ".join(toks[0:25]) + " zz1 zz2 " + " ".join(toks[15:40]) + " " + _words("c", 5)),
+        (3, base),  # full copy
+        (4, _words("u", 30)),  # unique
+    ]
+    df = _mk(spark, rows)
+    spans = duplicate_span_sources(df, k=20, id_col="doc_id").collect()
+    removed = {
+        r["doc_id"]: r["removed_tokens"]
+        for r in duplicate_span_rewrite(df, k=20, id_col="doc_id").collect()
+    }
+    cover: dict[int, set[int]] = {}
+    for r in spans:
+        cover.setdefault(r["doc_id"], set()).update(
+            range(r["start"], r["start"] + r["span_tokens"])
+        )
+    for i in removed:
+        assert len(cover.get(i, set())) == removed[i], f"doc {i}"
+
+
 def test_k_validation(spark):
     with pytest.raises(ValueError, match="k must be >= 2"):
         duplicate_span_rewrite(_mk(spark, [(1, "a b")]), k=1, id_col="doc_id")

@@ -362,6 +362,117 @@ def _interval_union_len(
     return per.groupBy(id1, id2).agg(F.sum("len").cast("long").alias(out))
 
 
+def _span_base(
+    docs: DataFrame, text_col: str, id_col: str, preserve_case: bool
+) -> DataFrame:
+    """(__id, __toks, n_tokens) under the span family's tokenization rule
+    (null text == empty; whitespace collapse; lowercase unless
+    ``preserve_case``)."""
+    filled = F.coalesce(F.col(text_col), F.lit(""))
+    if preserve_case:
+        collapsed = F.trim(F.regexp_replace(filled, r"[ \t\n\r\f\x0B]+", " "))
+        toks = F.when(
+            F.length(collapsed) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(collapsed, " "))
+    else:
+        toks = tokens_col(normalize_text(filled))
+    return docs.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
+def _noncanonical_dup_occurrences(
+    base: DataFrame, k: int, preserve_case: bool
+) -> DataFrame:
+    """Shared core of the span family: every positional k-gram occurrence
+    that is duplicated (count >= 2 corpus-wide) and NOT the canonical
+    (min (id, pos)) one — ``(__id, pos, __canon)`` with ``__canon`` the
+    canonical (i, p) struct.  One map-side-combinable shuffle on the gram
+    key + the join-back (AQE broadcasts the dup-stats side when small)."""
+    gram_key = (
+        (lambda i: F.md5(F.lower(F.concat_ws(" ", F.slice("__toks", i + 1, k)))))
+        if preserve_case
+        else (lambda i: F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, k))))
+    )
+    gram_arr = F.when(
+        F.size("__toks") >= k,
+        F.transform(F.sequence(F.lit(0), F.size("__toks") - k), gram_key),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select("__id", F.posexplode(gram_arr).alias("pos", "gram"))
+    stats = occ.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col("__id").alias("i"), F.col("pos").alias("p"))).alias("__canon"),
+    )
+    return (
+        occ.join(stats.where(F.col("__cnt") >= 2), "gram")
+        .where(
+            ~((F.col("__id") == F.col("__canon.i")) & (F.col("pos") == F.col("__canon.p")))
+        )
+        .select("__id", "pos", "__canon")
+    )
+
+
+def duplicate_span_sources(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "url",
+    text_col: str = "text",
+    preserve_case: bool = False,
+) -> DataFrame:
+    """The explain surface of :func:`duplicate_span_rewrite`: for every
+    maximal duplicated run, WHERE it came from — one row per (document,
+    source, diagonal) island: ``(id, start, span_tokens, src_id,
+    src_start)`` meaning tokens ``[start, start + span_tokens)`` of ``id``
+    also appear verbatim at ``src_start`` of the canonical doc ``src_id``
+    (the reference GUI's side-by-side matched-region view, corpus-global —
+    explain_pair answers the same question for ONE pair).
+
+    Consecutive non-canonical occurrences whose canonical source advances
+    in lockstep (same ``(id, src_id, pos - src_pos)`` diagonal) merge into
+    one maximal span via the usual gaps-and-islands window; a span whose
+    per-gram canonicals alternate between sources splits at the
+    alternation, by construction.  Rows cover exactly the grams the
+    rewrite cuts: the interval union of ``[start, start + span_tokens)``
+    over a doc's rows equals that doc's removed intervals.
+
+    Scale shape: the shared gram agg + join-back
+    (:func:`_noncanonical_dup_occurrences`), then one window partitioned
+    by (doc, source, diagonal) over DUPLICATED occurrences only — never
+    the full occurrence table.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    base = _span_base(docs, text_col, id_col, preserve_case)
+    dup = _noncanonical_dup_occurrences(base, k, preserve_case).select(
+        "__id",
+        "pos",
+        F.col("__canon.i").alias("__src"),
+        F.col("__canon.p").alias("__spos"),
+    )
+    w = Window.partitionBy("__id", "__src", F.col("pos") - F.col("__spos")).orderBy("pos")
+    isl = F.col("pos") - F.row_number().over(w)
+    return (
+        dup.withColumn("__isl", isl)
+        .groupBy("__id", "__src", (F.col("pos") - F.col("__spos")).alias("__d"), "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("start"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_tokens"),
+            F.min("__spos").cast("long").alias("src_start"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "start",
+            "span_tokens",
+            F.col("__src").alias("src_id"),
+            "src_start",
+        )
+    )
+
+
 def duplicate_span_rewrite(
     docs: DataFrame,
     k: int,
@@ -425,49 +536,10 @@ def duplicate_span_rewrite(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
 
-    # null text == empty text (the Arrow kernel's fill_null contract)
-    filled = F.coalesce(F.col(text_col), F.lit(""))
-    if preserve_case:
-        # same whitespace collapse as normalize_text, NO lowercase; the
-        # gram key lowercases at comparison time so positions align 1:1
-        # with the normalized stream (lowercase is per-char, so
-        # lower(concat(toks)) == concat(lower(toks)))
-        collapsed = F.trim(F.regexp_replace(filled, r"[ \t\n\r\f\x0B]+", " "))
-        toks = F.when(
-            F.length(collapsed) == 0, F.array().cast("array<string>")
-        ).otherwise(F.split(collapsed, " "))
-    else:
-        toks = tokens_col(normalize_text(filled))
-    n = F.size(toks)
-    base = docs.select(
-        F.col(id_col).alias("__id"),
-        toks.alias("__toks"),
-        n.cast("long").alias("n_tokens"),
-    )
+    base = _span_base(docs, text_col, id_col, preserve_case)
 
-    gram_key = (
-        (lambda i: F.md5(F.lower(F.concat_ws(" ", F.slice("__toks", i + 1, k)))))
-        if preserve_case
-        else (lambda i: F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, k))))
-    )
-    gram_arr = F.when(
-        F.size("__toks") >= k,
-        F.transform(F.sequence(F.lit(0), F.size("__toks") - k), gram_key),
-    ).otherwise(F.array().cast("array<string>"))
-    occ = base.select("__id", F.posexplode(gram_arr).alias("pos", "gram"))
-
-    # one shuffle on the gram key; both aggregates combine map-side, so the
-    # hottest boilerplate gram contributes one partial row per map task
-    stats = occ.groupBy("gram").agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        F.min(F.struct(F.col("__id").alias("i"), F.col("pos").alias("p"))).alias("__canon"),
-    )
-    dup_occ = (
-        occ.join(stats.where(F.col("__cnt") >= 2), "gram")
-        .where(
-            ~((F.col("__id") == F.col("__canon.i")) & (F.col("pos") == F.col("__canon.p")))
-        )
-        .select("__id", F.col("pos").alias("s"), (F.col("pos") + k - 1).alias("e"))
+    dup_occ = _noncanonical_dup_occurrences(base, k, preserve_case).select(
+        "__id", F.col("pos").alias("s"), (F.col("pos") + k - 1).alias("e")
     )
 
     # classic sort + sweep interval union, windowed per document (dup
