@@ -409,6 +409,66 @@ def test_job_cli_dedup_spans(spark, tmp_path):
         )
 
 
+def test_job_cli_composed_rewrite_stages(spark, tmp_path):
+    """--dedup-paragraphs + --dedup-spans + --quality-gate compose: each
+    checkpointed stage exists with its lineage, later stages consume the
+    previous rewrite's text, and the pipeline completes end to end."""
+    from pyspark.sql import Row
+
+    from vid_dup_finder_lib_spark.plans import job
+
+    cb = CorpusBuilder(seed=81)
+    cb.make_clusters(
+        num_clusters=1, first_size=4, size_step=0, intra_d=10, inter_d=200, doclen=400
+    )
+    docs = cb.to_spark(spark, partitions=2)
+    ts = docs.select("warc_ts").first()[0]
+    quote = " ".join(f"qw{i}" for i in range(25))
+    para = "shared promo paragraph appearing in both docs right here now"
+    extra = spark.createDataFrame(
+        [
+            # the quote is OFFSET by one token in b: the paragraph stage's
+            # positional 8-token re-lining then sees different lines (only
+            # the shared leading para line dedups), while the position-
+            # independent span stage still finds the 25-token run
+            Row(url="zz://a", warc_ts=ts, html=bytearray(b""),
+                text=para + " " + quote + " " + " ".join(f"at{i}" for i in range(60)),
+                lang="en"),
+            Row(url="zz://b", warc_ts=ts, html=bytearray(b""),
+                text=para + " pad0 " + quote + " " + " ".join(f"bt{i}" for i in range(60)),
+                lang="en"),
+        ],
+        docs.schema,
+    )
+    docs_path = str(tmp_path / "docs")
+    docs.unionByName(extra).write.parquet(docs_path)
+    rc = job.main(
+        [
+            "--docs", docs_path,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--tolerance", "0.100",
+            "--dedup-paragraphs",
+            "--dedup-spans", "--span-k", "20",
+            "--quality-gate", "--quality-min-tokens", "10",
+        ]
+    )
+    assert rc == 0
+    for stage in ("docs_quality", "docs_paragraphs", "docs_spans"):
+        assert (tmp_path / "ckpt" / stage / "data").exists(), stage
+    spans = spark.read.parquet(str(tmp_path / "ckpt" / "docs_spans" / "data"))
+    rows = {r["url"]: r for r in spans.where(
+        spans["url"].startswith("zz://")).collect()}
+    # the paragraph stage removed the shared leading line from the LATER
+    # doc; the span stage then cuts the misaligned 25-token quote from the
+    # non-canonical doc — both lineages visible, text flows through
+    assert set(rows) == {"zz://a", "zz://b"}
+    assert rows["zz://a"]["removed_tokens"] == 0
+    assert rows["zz://b"]["removed_tokens"] == 25
+    assert "qw0" in rows["zz://a"]["text"]
+    assert "qw0" not in rows["zz://b"]["text"]
+    assert all(f"bt{i}" in rows["zz://b"]["text"] for i in (0, 59))
+
+
 def test_job_cli_decontam_stage(spark, tmp_path):
     """--decontam: training docs sharing a verbatim 13-gram with the
     benchmark corpus are dropped in a checkpointed stage; clean docs
