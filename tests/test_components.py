@@ -74,15 +74,25 @@ def test_large_mixed_graph(spark):
 def test_path_graph_logarithmic_rounds(spark):
     """A 1000-node chain — the shape that breaks min-label propagation
     (needs O(diameter)=1000 rounds there; large-star/small-star must finish
-    within the default 50-round cap, i.e. O(log n)).  VERDICT r1 item 3."""
+    within the default 50-round cap, i.e. O(log n)).  VERDICT r1 item 3.
+    rows_per_partition=1 pins the ITERATIVE path (the r6 small-graph
+    dispatch would otherwise solve this in one union-find task)."""
+    from vid_dup_finder_lib_spark.operators.components import connected_components
+
     edges = [(i, i + 1) for i in range(999)]
-    got = _cc_spark(spark, edges)
-    assert got == {frozenset(range(1000))}
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    rows = connected_components(df, rows_per_partition=1).collect()
+    comp = {}
+    for r in rows:
+        comp.setdefault(r.component, set()).add(r.id)
+    assert {frozenset(s) for s in comp.values()} == {frozenset(range(1000))}
 
 
 def test_nonconvergence_raises(spark):
     """Hitting the iteration cap raises instead of returning a silently wrong
-    partial labeling (ADVICE r1, components.py)."""
+    partial labeling (ADVICE r1, components.py).  rows_per_partition=1 pins
+    the iterative path — the single-task union-find dispatch never needs
+    rounds and cannot hit the cap."""
     import pytest
 
     from vid_dup_finder_lib_spark.operators.components import (
@@ -93,7 +103,57 @@ def test_nonconvergence_raises(spark):
     edges = [(i, i + 1) for i in range(999)]
     df = spark.createDataFrame(edges, "id1 long, id2 long")
     with pytest.raises(ConvergenceError):
-        connected_components(df, max_iterations=1).collect()
+        connected_components(df, max_iterations=1, rows_per_partition=1).collect()
+
+
+def test_small_graph_dispatch_equivalence(spark):
+    """r6 optimization: the single-task union-find path (edge count <=
+    rows_per_partition) must produce EXACTLY the iterative star-contraction
+    path's assignment — same (id, component) rows, component = min member
+    id — on random graphs, chains and duplicate/reversed edge lists."""
+    import numpy as np
+
+    from vid_dup_finder_lib_spark.operators.components import connected_components
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for _ in range(3):
+        n = 120
+        m = int(rng.integers(40, 260))
+        cases.append(
+            [tuple(int(x) for x in rng.choice(n, 2, replace=False)) for _ in range(m)]
+        )
+    cases.append([(i, i + 1) for i in range(60)])  # chain
+    cases.append([(1, 2), (2, 1), (1, 2), (3, 3), (4, 5)])  # dups/reversed/self
+    for edges in cases:
+        df = spark.createDataFrame(edges, "id1 long, id2 long")
+        fast = {(r.id, r.component) for r in connected_components(df).collect()}
+        slow = {
+            (r.id, r.component)
+            for r in connected_components(df, rows_per_partition=1).collect()
+        }
+        assert fast == slow and fast
+
+
+def test_small_graph_dispatch_string_ids(spark):
+    """String ids (urls) through the union-find path: min label must follow
+    Spark's UTF8 byte ordering — which Python string comparison matches for
+    valid UTF-8 (code-point order == byte order)."""
+    from vid_dup_finder_lib_spark.operators.components import connected_components
+
+    edges = [
+        ("https://b/x", "https://a/y"),
+        ("https://a/y", "https://c/z"),
+        ("z1", "z2"),
+    ]
+    df = spark.createDataFrame(edges, "id1 string, id2 string")
+    fast = {(r.id, r.component) for r in connected_components(df).collect()}
+    slow = {
+        (r.id, r.component)
+        for r in connected_components(df, rows_per_partition=1).collect()
+    }
+    assert fast == slow
+    assert ("https://c/z", "https://a/y") in fast
 
 
 def test_merge_cases(spark):

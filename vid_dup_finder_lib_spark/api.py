@@ -109,10 +109,19 @@ def find_edges(
     spaceless zh/ja/th text.  ``unit="auto"`` probes the corpus first
     (:func:`resolve_signature_unit`) and picks char iff the majority of
     sampled docs are space-free."""
-    unit = _resolve_unit(docs, text_col, unit)
-    sigs = signatures if signatures is not None else build_signatures(
-        docs, cfg, id_col, text_col, unit=unit
-    )
+    if signatures is not None:
+        # precomputed signatures already fix the granularity: the auto
+        # probe's one-or-two corpus scans would be paid and then discarded
+        if unit == "auto":
+            raise ValueError(
+                "find_edges: unit='auto' cannot be combined with precomputed "
+                "signatures — the signature table already fixes the unit; "
+                "pass the unit it was built with (or omit signatures)"
+            )
+        sigs = signatures
+    else:
+        unit = _resolve_unit(docs, text_col, unit)
+        sigs = build_signatures(docs, cfg, id_col, text_col, unit=unit)
     sigs = _materialize(sigs, materialize and signatures is None)
     pairs, _quarantined = candidate_pairs(sigs, cfg)
     pairs = _materialize(pairs, materialize)

@@ -220,7 +220,7 @@ def lsh_bucket_topk(
         n_planes = auto_n_planes(
             corpus.select(id_col).count(), target_bucket_size=target_bucket_size
         )
-    elif not isinstance(n_planes, int):
+    elif isinstance(n_planes, bool) or not isinstance(n_planes, int):
         raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
     keys = hyperplane_bucket_keys(
         corpus, dim, n_tables, n_planes, seed, id_col, vec_col, n_probes
@@ -460,16 +460,18 @@ def kmeans_centroids(
     return centroids
 
 
-def ivf_assign(
+def _ivf_probe_arrays(
     corpus: DataFrame,
     centroids: np.ndarray,
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, centroid_id): each vector's ``nprobe`` nearest centroids by
-    cosine (nprobe=1 = the inverted-file bucket; >1 = the query-side probe
-    list).  One Arrow matmul per batch; output is a narrow int-keyed table."""
+    """(id, probes: array<int>): each vector's ``nprobe`` nearest centroids
+    by cosine, UNEXPLODED — probes[0] is the inverted-file bucket, the full
+    array the query-side probe list, so ``ivf_topk`` derives both sides
+    from ONE Arrow matmul pass instead of two (guide §1.2: don't compute
+    things twice)."""
     from pyspark.sql import functions as F
 
     c = centroids / np.maximum(
@@ -494,7 +496,24 @@ def ivf_assign(
 
     return corpus.select(
         F.col(id_col).alias("id"), probe_udf(F.col(vec_col)).alias("probes")
-    ).select("id", F.explode("probes").alias("centroid_id"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id): each vector's ``nprobe`` nearest centroids by
+    cosine (nprobe=1 = the inverted-file bucket; >1 = the query-side probe
+    list).  One Arrow matmul per batch; output is a narrow int-keyed table."""
+    from pyspark.sql import functions as F
+
+    return _ivf_probe_arrays(corpus, centroids, nprobe, id_col, vec_col).select(
+        "id", F.explode("probes").alias("centroid_id")
+    )
 
 
 def ivf_topk(
@@ -528,17 +547,22 @@ def ivf_topk(
 
     if n_centroids == "auto":
         n_centroids = auto_n_centroids(corpus.select(id_col).count())
-    elif not isinstance(n_centroids, int):
+    elif isinstance(n_centroids, bool) or not isinstance(n_centroids, int):
         raise ValueError(f"n_centroids must be an int or 'auto', got {n_centroids!r}")
     centroids = kmeans_centroids(
         corpus, n_centroids, dim, n_iter, seed, id_col, vec_col
     )
-    # corpus side: exactly one bucket per vector (the inverted file);
-    # query side: nprobe buckets.  Both come from one assignment pass each.
-    file_side = ivf_assign(corpus, centroids, 1, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
-    query_side = ivf_assign(corpus, centroids, nprobe, id_col, vec_col)
+    # ONE assignment pass serves both sides: probes[0] is each vector's
+    # inverted-file bucket (identical to a separate nprobe=1 pass — the
+    # stable sort's first element), the exploded array the query-side probe
+    # list.  The r5 shape ran the Arrow matmul twice and recomputed the
+    # query side per consumer; materializing the narrow (id, probes) table
+    # once removes both (the r5 verdict's only perf regression).
+    assign = _ivf_probe_arrays(
+        corpus, centroids, max(nprobe, 1), id_col, vec_col
+    ).localCheckpoint(eager=True)
+    file_side = assign.select("id", F.col("probes")[0].alias("centroid_id"))
+    query_side = assign.select("id", F.explode("probes").alias("centroid_id"))
 
     cand = (
         query_side.withColumnRenamed("id", "query_id")
@@ -629,7 +653,7 @@ def semantic_dedup(
         n_centroids = auto_n_centroids_for_prune(
             corpus.select(id_col).count(), target_cluster_size=target_cluster_size
         )
-    elif not isinstance(n_centroids, int):
+    elif isinstance(n_centroids, bool) or not isinstance(n_centroids, int):
         raise ValueError(f"n_centroids must be an int or 'auto', got {n_centroids!r}")
     thr_q = int(round(sim_threshold * _SIM_QUANT))
     centroids = kmeans_centroids(

@@ -77,6 +77,77 @@ def _small_star(e: DataFrame) -> DataFrame:
     return to_min.unionAll(keep_root).distinct()
 
 
+def _single_task_cc(e: DataFrame) -> DataFrame:
+    """Union-find over a SMALL canonical edge set in one executor task.
+
+    The large-star/small-star loop pays O(log n) rounds of (checkpoint +
+    convergence-probe) jobs — the right shape when the edge set is too big
+    for any single task, pure fixed overhead when it is not (guide §1.2:
+    fix the distributed algorithm first; a graph that fits one shuffle
+    partition needs zero distributed rounds).  Dispatched by
+    ``connected_components`` on the MEASURED edge count, so at corpus
+    scale (edges >> rows_per_partition) the iterative path is unchanged —
+    this is the same cost-based plan dispatch as
+    ``dedup.exact_jaccard_pairs_auto``, not a local[32] tune.
+
+    Identical output contract: (id, component), component = min member id
+    (Python string comparison orders UTF-8 strings by code point, which
+    equals Spark's UTF8String byte order — UTF-8 preserves code-point
+    order — so string ids label identically).  The work happens in one
+    executor task via ``mapInPandas``; the driver never holds the graph.
+    """
+    import pandas as pd
+
+    id_type = e.schema["lo"].dataType
+    out_schema = (
+        f"id {id_type.simpleString()}, component {id_type.simpleString()}"
+    )
+
+    def uf(batches):
+        parent: dict = {}
+        size: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["lo"], pdf["hi"]):
+                if a not in parent:
+                    parent[a] = a
+                    size[a] = 1
+                if b not in parent:
+                    parent[b] = b
+                    size[b] = 1
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by size; min labels are restored in a final pass
+                    if size[ra] < size[rb]:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+                    size[ra] += size[rb]
+        if not parent:
+            return
+        comp_min: dict = {}
+        for x in parent:
+            r = find(x)
+            m = comp_min.get(r)
+            if m is None or x < m:
+                comp_min[r] = x
+        ids = list(parent.keys())
+        yield pd.DataFrame(
+            {"id": ids, "component": [comp_min[find(x)] for x in ids]}
+        )
+
+    # coalesce(1): e is already materialized (localCheckpoint), so this is
+    # one task reading the checkpoint blocks — no extra shuffle
+    return e.coalesce(1).mapInPandas(uf, schema=out_schema)
+
+
 def _is_star_forest(e: DataFrame) -> bool:
     """Exact check that the canonical edge set is a star forest, i.e. a fixed
     point of the large-star/small-star iteration (Kiveris et al. prove star
@@ -130,6 +201,15 @@ def connected_components(
     spark = edges.sparkSession
     if n_edges == 0:
         return e.select(F.col("lo").alias("id"), F.col("hi").alias("component"))
+
+    # cost dispatch (guide §1.2): a graph whose whole edge set fits one
+    # partition's row budget is solved in ONE task by union-find instead of
+    # O(log n) rounds of checkpoint+probe jobs; beyond that budget the
+    # distributed star-contraction below is unchanged.  Data-adaptive, not
+    # a local-mode constant: at 100 TB the edge set blows past any single
+    # partition and always takes the iterative path.
+    if n_edges <= rows_per_partition:
+        return _single_task_cc(e)
 
     default_par = spark.sparkContext.defaultParallelism
     npart = int(max(1, min(default_par * 2, n_edges // rows_per_partition + 1)))

@@ -167,11 +167,24 @@ def candidate_pairs(
     quarantined = over.where(F.col("bucket_size") > hard_cap)
     hot = over.where(F.col("bucket_size") <= hard_cap)
 
-    ok_keys = keys.join(
-        F.broadcast(over.select("band_id", "band_hash")),
-        ["band_id", "band_hash"],
-        "left_anti",
-    )
+    # tier dispatch on the MEASURED over-cap table (already materialized,
+    # so this probe is a take(1) on a tiny checkpoint, not a re-count):
+    # with no over-cap bucket — the common case on boilerplate-stripped
+    # corpora — the anti-join, the salted block-pairing subplan and the
+    # union are identity/empty stages bought for nothing (guide §2.4:
+    # remove shuffles outright).  Skew-bearing corpora take the 3-tier
+    # plan exactly as before; the dispatch is data-adaptive, not a
+    # local-mode shortcut, and the emitted pair multiset is identical.
+    has_over = len(over.take(1)) > 0
+
+    if has_over:
+        ok_keys = keys.join(
+            F.broadcast(over.select("band_id", "band_hash")),
+            ["band_id", "band_hash"],
+            "left_anti",
+        )
+    else:
+        ok_keys = keys
     a = ok_keys.select("band_id", "band_hash", F.col("id").alias("id1"))
     b = ok_keys.select("band_id", "band_hash", F.col("id").alias("id2"))
     plain = (
@@ -180,13 +193,15 @@ def candidate_pairs(
         .select("id1", "id2")
     )
 
-    hot_keys = keys.join(
-        F.broadcast(hot.select("band_id", "band_hash")), ["band_id", "band_hash"], "left_semi"
-    )
-    salted = _salted_pairs(hot_keys, salt_groups).select("id1", "id2")
-
-    pairs = plain.unionByName(salted)
-    if overcap == "sample":
+    if has_over:
+        hot_keys = keys.join(
+            F.broadcast(hot.select("band_id", "band_hash")), ["band_id", "band_hash"], "left_semi"
+        )
+        salted = _salted_pairs(hot_keys, salt_groups).select("id1", "id2")
+        pairs = plain.unionByName(salted)
+    else:
+        pairs = plain
+    if overcap == "sample" and has_over:
         # deterministic hash-threshold sampling: keep a member with
         # probability max_bucket_size/bucket_size — a filter, not a sort, so
         # no task ever holds a full over-cap bucket
