@@ -386,6 +386,19 @@ def kmeans_centroids(
     base = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).localCheckpoint(eager=True)
+    # task-count sizing from the MEASURED row count (guide §1.2): every
+    # Lloyd iteration is one short job over this table, so a small corpus
+    # spread over many near-empty partitions pays n_iter × (tasks × Python
+    # worker round-trip) of pure overhead.  ~64k rows per task keeps one
+    # iteration's matmul ~0.5 GFLOP; large corpora keep their partitioning
+    # (count/65536 exceeds the cluster's cores long before 100 TB).
+    # coalesce() is a narrow repack of the checkpoint blocks — no shuffle —
+    # and the fixed-point int64 partials make the centroids provably
+    # partitioning-independent, so the result is bit-identical.
+    n_rows = base.count()
+    target_tasks = max(1, n_rows // 65536 + (1 if n_rows % 65536 else 0))
+    if target_tasks < base.rdd.getNumPartitions():
+        base = base.coalesce(target_tasks)
     sd = seed
 
     @F.pandas_udf("long")
