@@ -27,6 +27,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus * 2, 8)
 
+    # one BLAS thread per task (guide §4.2 caveat): Spark schedules one
+    # core per task, but OpenBLAS/MKL default to one thread PER CORE, so
+    # every applyInPandas matmul task (gram matrix, ANN blocks, k-means
+    # partials) spawns cpus threads and the stage runs cpus× oversubscribed
+    # — measured 7.2 -> 5.4 s on the blocked Gram matmul at sf0.1.  Local
+    # workers inherit the driver env; spark.executorEnv covers cluster
+    # deployments.  setdefault so an operator-set value wins.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -40,6 +50,9 @@ def get_spark(
         # measured win (noop-isolated: 0.58 -> 0.42 s at sf0.1); AQE's size
         # checks still guard the build side at scale
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", os.environ["OPENBLAS_NUM_THREADS"])
+        .config("spark.executorEnv.OMP_NUM_THREADS", os.environ["OMP_NUM_THREADS"])
+        .config("spark.executorEnv.MKL_NUM_THREADS", os.environ["MKL_NUM_THREADS"])
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
