@@ -1537,6 +1537,11 @@ def q_streamed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
     )
+    from vid_dup_finder_lib_spark.streaming.util import (
+        size_state_partitions,
+        source_bytes,
+    )
+
     run_rollup_to_parquet(
         spark,
         f"{work}/src",
@@ -1546,6 +1551,12 @@ def q_streamed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         width="1 hour",
         watermark_delay="2 hours",
         group_cols=("event_type",),
+        # state width sized from the bounded source (streaming/util.py):
+        # AQE never coalesces stateful stages, so the session's batch
+        # shuffle default would pin 64 state stores onto a few MB of input
+        state_partitions=size_state_partitions(
+            spark, source_bytes(f"{work}/src")
+        ),
     ).awaitTermination()
     return spark.read.parquet(f"{work}/out").select(
         "window_start_us", "event_type", "n_events", "value_sum",
@@ -1574,6 +1585,11 @@ def q_streamed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
     )
+    from vid_dup_finder_lib_spark.streaming.util import (
+        size_state_partitions,
+        source_bytes,
+    )
+
     run_sessions_to_parquet(
         spark,
         f"{work}/src",
@@ -1583,6 +1599,10 @@ def q_streamed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="user_id",
         gap="30 minutes",
         watermark_delay="2 hours",
+        # state width sized from the bounded source (streaming/util.py)
+        state_partitions=size_state_partitions(
+            spark, source_bytes(f"{work}/src")
+        ),
     ).awaitTermination()
     return spark.read.parquet(f"{work}/out").select(
         F.col("user_id").cast("long").alias("user_id"),
@@ -1608,6 +1628,11 @@ def q_streamed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _stream_workdir("streamed_dedup_")
     derived = _derived_exact(_docs(spark, sf_dir, widen=False))
     derived.coalesce(8).write.parquet(f"{work}/src")
+    from vid_dup_finder_lib_spark.streaming.util import (
+        size_state_partitions,
+        source_bytes,
+    )
+
     stream_exact_dedup(
         spark,
         f"{work}/src",
@@ -1617,6 +1642,10 @@ def q_streamed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         text_col="text",
         available_now=True,
+        # state width sized from the bounded source (streaming/util.py)
+        state_partitions=size_state_partitions(
+            spark, source_bytes(f"{work}/src")
+        ),
     )
     return spark.read.parquet(f"{work}/out").select(
         "content_hash", "id", "n_dups_in_batch"
@@ -1723,6 +1752,11 @@ def q_streamed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_col(normalize_text(F.col("text")))) >= 40
     ).coalesce(8).write.parquet(f"{work}/src")
     store = PartitionedSignatureStore(f"{work}/store", ENTRY_CFG, num_buckets=8)
+    from vid_dup_finder_lib_spark.streaming.util import (
+        size_state_partitions,
+        source_bytes,
+    )
+
     stream_neardup_dedup(
         spark,
         f"{work}/src",
@@ -1734,6 +1768,10 @@ def q_streamed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance=0.02,
         id_col="doc_id",
         text_col="text",
+        # per-batch shuffle width sized from the bounded source
+        state_partitions=size_state_partitions(
+            spark, source_bytes(f"{work}/src")
+        ),
     )
     return spark.read.parquet(f"{work}/out").select(
         F.col("id").cast("long").alias("doc_id"),

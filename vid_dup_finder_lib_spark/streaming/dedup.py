@@ -58,10 +58,16 @@ def stream_exact_dedup(
     id_col: str = "url",
     text_col: str = "text",
     available_now: bool = True,
+    state_partitions: int | None = None,
 ):
     """Continuously emit (content_hash, id, n_dups_in_batch) for the FIRST
     occurrence of each distinct document text; duplicates (in-batch or
-    later-batch) are dropped.  Returns the StreamingQuery."""
+    later-batch) are dropped.  Returns the StreamingQuery.
+
+    ``state_partitions``: width of the stateful stage (see
+    streaming/util.py); only honored with ``available_now`` (the query is
+    awaited inside the scoped conf)."""
+    from vid_dup_finder_lib_spark.streaming.util import state_partition_conf
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 64)
@@ -94,7 +100,8 @@ def stream_exact_dedup(
         .outputMode("append")
     )
     if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
+        with state_partition_conf(spark, state_partitions):
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
         return q
     return writer.start()

@@ -126,6 +126,7 @@ def stream_neardup_dedup(
     max_files_per_trigger: int = 64,
     extract_html: bool = False,
     html_col: str = "html",
+    state_partitions: int | None = None,
 ):
     """Run the incremental near-dup ingest; returns the StreamingQuery.
 
@@ -189,7 +190,13 @@ def stream_neardup_dedup(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
+        from vid_dup_finder_lib_spark.streaming.util import state_partition_conf
+
+        # no Spark state store here (state is the signature store), but the
+        # per-batch join/agg shuffles read the same conf — sized like the
+        # stateful runners (see streaming/util.py)
+        with state_partition_conf(spark, state_partitions):
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
         return q
     return writer.start()

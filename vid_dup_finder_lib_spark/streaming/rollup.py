@@ -88,9 +88,17 @@ def run_rollup_to_parquet(
     width: str = "1 hour",
     watermark_delay: str = "2 hours",
     group_cols: tuple[str, ...] = ("event_type",),
+    state_partitions: int | None = None,
 ):
     """availableNow driver: stream events parquet -> watermarked rollup ->
-    append-only parquet sink.  Returns the StreamingQuery (await it)."""
+    append-only parquet sink.  Returns the StreamingQuery (await it).
+
+    ``state_partitions``: width of the stateful stage (see
+    streaming/util.py) — when set, the query is started AND awaited under
+    the scoped conf so the checkpoint records the sized value; the
+    returned query is already terminated (awaiting again is a no-op)."""
+    from vid_dup_finder_lib_spark.streaming.util import state_partition_conf
+
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 64)
@@ -99,11 +107,15 @@ def run_rollup_to_parquet(
     rolled = windowed_rollup_stream(
         stream, width=width, group_cols=group_cols, watermark_delay=watermark_delay
     )
-    return (
-        rolled.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", target_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with state_partition_conf(spark, state_partitions):
+        q = (
+            rolled.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", target_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if state_partitions is not None:
+            q.awaitTermination()
+    return q

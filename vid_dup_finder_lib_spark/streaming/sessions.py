@@ -60,9 +60,17 @@ def run_sessions_to_parquet(
     key: str = "user_id",
     gap: str = "30 minutes",
     watermark_delay: str = "2 hours",
+    state_partitions: int | None = None,
 ):
     """availableNow driver: stream events parquet -> session windows ->
-    append-only parquet sink.  Returns the StreamingQuery (await it)."""
+    append-only parquet sink.  Returns the StreamingQuery (await it).
+
+    ``state_partitions``: width of the stateful stage (see
+    streaming/util.py) — when set, the query is started AND awaited under
+    the scoped conf so the checkpoint records the sized value; the
+    returned query is already terminated (awaiting again is a no-op)."""
+    from vid_dup_finder_lib_spark.streaming.util import state_partition_conf
+
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 64)
@@ -71,11 +79,15 @@ def run_sessions_to_parquet(
     sessions = sessionized_stream(
         stream, key=key, gap=gap, watermark_delay=watermark_delay
     )
-    return (
-        sessions.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", target_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with state_partition_conf(spark, state_partitions):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", target_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if state_partitions is not None:
+            q.awaitTermination()
+    return q
