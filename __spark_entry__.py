@@ -127,9 +127,20 @@ def _derived_exact(docs: DataFrame) -> DataFrame:
 def _neardup_signatures(docs: DataFrame) -> DataFrame:
     """Signatures over the derived corpus, materialized: every consumer
     (band keys, bucket stats, both sides of the verify join) would otherwise
-    re-run the Arrow UDF stage."""
+    re-run the Arrow UDF stage.
+
+    include_token_hashes=False: every consumer of this helper verifies on
+    exact shingle-Jaccard (need_tokens=False throughout; the group-stats
+    query synthesizes its hamming column as union-inter) — the positional
+    token array is by far the widest signature column, and skipping it
+    prunes the Arrow transfer and the checkpoint by ~40 MB at sf0.1
+    (guide §4.1: control how many columns cross the boundary)."""
     return build_signatures(
-        _derived_neardup(docs), ENTRY_CFG, id_col="doc_id", text_col="text"
+        _derived_neardup(docs),
+        ENTRY_CFG,
+        id_col="doc_id",
+        text_col="text",
+        include_token_hashes=False,
     ).localCheckpoint(eager=True)
 
 
