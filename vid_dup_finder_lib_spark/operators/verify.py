@@ -152,11 +152,17 @@ def length_band_pairs(signatures: DataFrame, cfg: SigConfig) -> DataFrame:
     joined = base.select(
         F.col("id").alias("id1"), F.col("doclen").alias("len1"), "band"
     ).join(probe, "band")
+    # no distinct: each unordered pair matches in EXACTLY one band row —
+    # the base side holds one row per doc at its own band b_x, the probe
+    # side three rows per doc at distinct bands {b_y-1, b_y, b_y+1}, and
+    # the equi-join can therefore pair (x, y) only where b_x equals one of
+    # three distinct values.  The former distinct() was a full shuffle of
+    # the (already unique) pair rows bought for nothing (guide §2.4:
+    # a distinct on data that is already unique).
     return (
         joined.where(F.col("id1") < F.col("id2"))
         .where(self_length_band(cfg))
         .select("id1", "id2", "len1", "len2")
-        .distinct()
     )
 
 
