@@ -381,45 +381,62 @@ def audio_fingerprint(
     64-bit long via the same wrapping shiftleft fold as image_ahash
     (mirrored by tools/make_audio_fp_fixture.py — change BOTH together).
 
-    Decode runs in mapInPandas (extract_frame_features); ordering, deltas,
-    and packing are pure codegen.  Decode failures stay error VALUES
+    Decode AND packing run fused in one mapInPandas pass (guide §1.2/§4.2):
+    the r5 shape emitted 16 per-frame rows per clip through a
+    groupBy-collect_list shuffle, an array_sort/flatten, and a 64-step
+    interpreted aggregate — all of which only reconstructed the frame
+    matrix the decoder already held.  The fused kernel compares/pack in
+    numpy on the decoder's own float32 frames; the bit rule, MSB-first
+    fold, and the Arrow float32 value domain are bit-identical (the r5
+    JVM path compared Arrow float32s; ``np.float32`` performs the same
+    IEEE conversion), proven by the committed fixture oracle
+    (tests/test_ahash_oracle.py).  Decode failures stay error VALUES
     (null fingerprint)."""
     if n_frames * feature_dim < 65:
         raise ValueError("audio_fingerprint needs at least 65 feature values")
-    ff = extract_frame_features(
-        media, decoder="real", n_frames=n_frames, feature_dim=feature_dim
-    )
-    ok = ff.where(F.col("error").isNull())
-    errs = (
-        ff.where(F.col("error").isNotNull())
-        .select("media_id", F.lit(None).cast("long").alias("audio_fp"), "error")
-        .distinct()
-    )
-    flat = ok.groupBy("media_id").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("frame_idx", "feature"))),
-                lambda s: s["feature"],
-            )
-        ).alias("v")
-    )
     L = n_frames * feature_dim
     stride = L // 64
-    idx = F.sequence(F.lit(0), F.lit(63))
-    packed = F.aggregate(
-        idx,
-        F.lit(0).cast("long"),
-        # element_at is 1-based; the wrap keeps every bit in-range
-        lambda acc, i: F.shiftleft(acc, 1)
-        + F.when(
-            F.element_at(F.col("v"), i * stride + 1)
-            > F.element_at(F.col("v"), (i * stride + stride) % L + 1),
-            1,
-        ).otherwise(0),
+    i_idx = np.arange(64, dtype=np.int64) * stride
+    j_idx = (i_idx + stride) % L
+    dec = RealDecoder(n_frames, feature_dim)
+    id_type = media.schema["media_id"].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            errs: list = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = dec.decode(payload)
+                    err = None if frames is not None else "EmptyPayload"
+                except ValueError as exc:
+                    frames, err = None, str(exc)
+                ids.append(mid)
+                if frames is None:
+                    fps.append(None)
+                    errs.append(err)
+                    continue
+                # float32 is the value domain the r5 path compared in
+                # (Arrow array<float>); same IEEE conversion here
+                v = np.asarray(frames, dtype=np.float32).reshape(-1)
+                bits = np.zeros(64, dtype=np.uint8)
+                if v.size >= L:
+                    bits[:] = v[i_idx] > v[j_idx]
+                else:
+                    # shorter-than-L streams (e.g. a single-frame image
+                    # payload routed here): the r5 JVM path's out-of-range
+                    # element_at yielded null -> bit 0; emulate per bit
+                    ok_ix = (i_idx < v.size) & (j_idx < v.size)
+                    bits[ok_ix] = v[i_idx[ok_ix]] > v[j_idx[ok_ix]]
+                raw = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                fps.append(raw - (1 << 64) if raw >= (1 << 63) else raw)
+                errs.append(None)
+            yield pd.DataFrame({"media_id": ids, "audio_fp": fps, "error": errs})
+
+    return media.mapInPandas(
+        run, schema=f"media_id {id_type}, audio_fp long, error string"
     )
-    return flat.select(
-        "media_id", packed.alias("audio_fp"), F.lit(None).cast("string").alias("error")
-    ).unionByName(errs)
 
 
 def audio_fp_hamming_pairs(fps: DataFrame, radius: int) -> DataFrame:
