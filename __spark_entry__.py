@@ -1010,16 +1010,20 @@ def q_incremental_reload_errs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_length_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: the 1.10x length window as a banded equi-join (skew-safe form of
-    the reference's duration sort window)."""
+    the reference's duration sort window).
+
+    The band operator reads ONLY (id, doclen), and doclen is by contract
+    the full token count (operators/signatures.py), so the frame is built
+    with one codegen size() instead of running the whole Arrow signature
+    kernel for two columns (guide §1.2: don't compute what you throw
+    away).  Empty/null texts yield doclen <= 0 exactly like the kernel
+    (size(null array) = -1, empty split = 0) and are excluded by the
+    operator's doclen > 0 filter either way."""
     from vid_dup_finder_lib_spark.operators.verify import length_band_pairs
 
-    sigs = build_signatures(
-        _tokens(_docs(spark, sf_dir)).select(
-            "doc_id", F.array_join("toks", " ").alias("text")
-        ),
-        ENTRY_CFG,
-        id_col="doc_id",
-        text_col="text",
+    sigs = _tokens(_docs(spark, sf_dir)).select(
+        F.col("doc_id").alias("id"),
+        F.size("toks").cast("long").alias("doclen"),
     )
     return length_band_pairs(sigs, ENTRY_CFG).select(
         F.col("id1").cast("long"), F.col("id2").cast("long"), "len1", "len2"
@@ -1043,12 +1047,16 @@ def q_refs_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") >= 100000) & ((F.col("doc_id") - 100000) % 50 == 0)
     )
     cands = derived.where(F.col("doc_id") < 100000)
-    ref_sigs = build_signatures(refs, ENTRY_CFG, id_col="doc_id", text_col="text").localCheckpoint(
-        eager=True
-    )
-    cand_sigs = build_signatures(cands, ENTRY_CFG, id_col="doc_id", text_col="text").localCheckpoint(
-        eager=True
-    )
+    # include_token_hashes=False: this query verifies on exact shingle-
+    # Jaccard + the ref length band only (guide §4.1 column pruning)
+    ref_sigs = build_signatures(
+        refs, ENTRY_CFG, id_col="doc_id", text_col="text",
+        include_token_hashes=False,
+    ).localCheckpoint(eager=True)
+    cand_sigs = build_signatures(
+        cands, ENTRY_CFG, id_col="doc_id", text_col="text",
+        include_token_hashes=False,
+    ).localCheckpoint(eager=True)
     rk = band_keys(ref_sigs, ENTRY_CFG).select("band_id", "band_hash", F.col("id").alias("id1"))
     ck = band_keys(cand_sigs, ENTRY_CFG).select("band_id", "band_hash", F.col("id").alias("id2"))
     pairs = rk.join(ck, ["band_id", "band_hash"]).select("id1", "id2").distinct()
@@ -2531,8 +2539,12 @@ def q_char_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cuts candidates 34x with the verified edge set identical
         min_band_collisions=3,
     )
+    # include_token_hashes=False: char-granularity verify is exact
+    # shingle-Jaccard only, and the per-CHAR positional token array is by
+    # far the widest column of the char kernel (guide §4.1)
     sigs = build_signatures(
-        nospace, cfg, id_col="doc_id", text_col="text", unit="char"
+        nospace, cfg, id_col="doc_id", text_col="text", unit="char",
+        include_token_hashes=False,
     ).localCheckpoint(eager=True)
     pairs, _q = candidate_pairs(sigs, cfg)
     edges = verified_edges(
@@ -2570,8 +2582,12 @@ def q_char_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cuts candidates 34x with the verified edge set identical
         min_band_collisions=3,
     )
+    # include_token_hashes=False: char-granularity verify is exact
+    # shingle-Jaccard only, and the per-CHAR positional token array is by
+    # far the widest column of the char kernel (guide §4.1)
     sigs = build_signatures(
-        nospace, cfg, id_col="doc_id", text_col="text", unit="char"
+        nospace, cfg, id_col="doc_id", text_col="text", unit="char",
+        include_token_hashes=False,
     ).localCheckpoint(eager=True)
     pairs, _q = candidate_pairs(sigs, cfg)
     edges = (
@@ -2737,8 +2753,11 @@ def _varied_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     """Shared by the pair-substring queries: exact-Jaccard pairs over the
     varied-period corpus + its token table."""
     varied = _derived_varied(_docs(spark, sf_dir))
+    # include_token_hashes=False: the pair-substring operators read toks
+    # from the corpus table; sigs only feed the exact-Jaccard join
     sigs = build_signatures(
-        varied.select("doc_id", "text"), ENTRY_CFG, id_col="doc_id", text_col="text"
+        varied.select("doc_id", "text"), ENTRY_CFG, id_col="doc_id",
+        text_col="text", include_token_hashes=False,
     ).localCheckpoint(eager=True)
     # materialized: the pair-substring operators consume the pair list
     # 3-5x (doc semi-join, both match-join sides, the one-row-per-pair
