@@ -2888,66 +2888,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so never-driver-tested queries lead (VERDICT r4 #2): the
-    driver sweep caps at ~50 entries, so the front of the dict is the 21
-    queries with no prior CORRECTNESS row, then the driver-red
-    clustering_agreement, then r3-only rows, then r4-green rows."""
+    """Ordered so the STALEST driver-correctness records lead (VERDICT r5
+    #2): the driver sweep caps at ~50 entries, so the front of the dict is
+    the 48 queries with no CORRECTNESS_r05 row (their latest driver row is
+    r3/r4), then the five r5 hash-red rows, then the r5-green rows.  Pure
+    reordering — every entry and its oracle SQL are unchanged."""
     return {
-        # --- new this session (no driver row yet) ---
-        "duplicate_span_rewrite": q_duplicate_span_rewrite,
-        "duplicate_span_sources": q_duplicate_span_sources,
-        "script_profile": q_script_profile,
-        "quality_dedup_survivors": q_quality_dedup_survivors,
-        "jaccard_pairs_prefix_plan": q_jaccard_pairs_prefix_plan,
-        # --- never driver-covered (r1-r4) ---
-        "streamed_event_rollup": q_streamed_event_rollup,
-        "streamed_sessions": q_streamed_sessions,
-        "streamed_dedup": q_streamed_dedup,
-        "streamed_neardup": q_streamed_neardup,
-        "pair_line_diff": q_pair_line_diff,
-        "containment_pairs": q_containment_pairs,
-        "doc_novelty": q_doc_novelty,
-        "frequent_line_topk": q_frequent_line_topk,
-        "repeated_line_strip": q_repeated_line_strip,
-        "paragraph_dedup_rewrite": q_paragraph_dedup_rewrite,
-        "bloom_incremental_dedup": q_bloom_incremental_dedup,
-        "domain_dup_stats": q_domain_dup_stats,
-        "gopher_repetition": q_gopher_repetition,
-        "contamination_scan": q_contamination_scan,
-        "shard_packing": q_shard_packing,
-        "benchmark_decontam": q_benchmark_decontam,
-        "eval_coverage": q_eval_coverage,
-        "top_bigram_stats": q_top_bigram_stats,
-        "image_ahash_pairs": q_image_ahash_pairs,
-        "audio_fp_pairs": q_audio_fp_pairs,
-        "semantic_dedup": q_semantic_dedup,
-        "char_incremental_cc": q_char_incremental_cc,
-        # --- driver-red in r4 (fixed: exact div) ---
-        "clustering_agreement": q_clustering_agreement,
-        # --- r3-covered, absent from the r4 sweep ---
-        "asof_view_before_click": q_asof_view_before_click,
-        "url_canonical_dedup": q_url_canonical_dedup,
-        "hashed_bow_features": q_hashed_bow_features,
-        "tpch_pricing_summary": q_tpch_pricing_summary,
-        "tpch_top_orders": q_tpch_top_orders,
-        "tpch_regional_revenue": q_tpch_regional_revenue,
-        "sessionization": q_sessionization,
-        "range_click_near_error": q_range_click_near_error,
-        "event_window_rollup": q_event_window_rollup,
-        "simhash_pairs": q_simhash_pairs,
-        "substring_pairs": q_substring_pairs,
-        "substring_winnowed_pairs": q_substring_winnowed_pairs,
-        "boilerplate_strip": q_boilerplate_strip,
-        "embedding_neardup": q_embedding_neardup,
-        "validation_conflicts": q_validation_conflicts,
-        "exact_dedup_survivors": q_exact_dedup_survivors,
-        "multimodal_meta": q_multimodal_meta,
-        "prefix_filter": q_prefix_filter,
-        "pair_expansion": q_pair_expansion,
-        "mode_token": q_mode_token,
-        "sampled_signatures": q_sampled_signatures,
-        # --- r4 driver-green ---
-        "signatures_basic": q_signatures_basic,
+        # --- 48 stalest: no r5 driver row (r3/r4-green + judge-green) ---
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2996,8 +2943,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
+        # --- r5 hash-red (driver-canonicalizer divergence, judge-green) ---
+        "streamed_event_rollup": q_streamed_event_rollup,
+        "clustering_agreement": q_clustering_agreement,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "sessionization": q_sessionization,
+        "event_window_rollup": q_event_window_rollup,
+        # --- r5 driver-green ---
+        "duplicate_span_rewrite": q_duplicate_span_rewrite,
+        "duplicate_span_sources": q_duplicate_span_sources,
+        "script_profile": q_script_profile,
+        "quality_dedup_survivors": q_quality_dedup_survivors,
+        "jaccard_pairs_prefix_plan": q_jaccard_pairs_prefix_plan,
+        "streamed_sessions": q_streamed_sessions,
+        "streamed_dedup": q_streamed_dedup,
+        "streamed_neardup": q_streamed_neardup,
+        "pair_line_diff": q_pair_line_diff,
+        "containment_pairs": q_containment_pairs,
+        "doc_novelty": q_doc_novelty,
+        "frequent_line_topk": q_frequent_line_topk,
+        "repeated_line_strip": q_repeated_line_strip,
+        "paragraph_dedup_rewrite": q_paragraph_dedup_rewrite,
+        "bloom_incremental_dedup": q_bloom_incremental_dedup,
+        "domain_dup_stats": q_domain_dup_stats,
+        "gopher_repetition": q_gopher_repetition,
+        "contamination_scan": q_contamination_scan,
+        "shard_packing": q_shard_packing,
+        "benchmark_decontam": q_benchmark_decontam,
+        "eval_coverage": q_eval_coverage,
+        "top_bigram_stats": q_top_bigram_stats,
+        "image_ahash_pairs": q_image_ahash_pairs,
+        "audio_fp_pairs": q_audio_fp_pairs,
+        "semantic_dedup": q_semantic_dedup,
+        "char_incremental_cc": q_char_incremental_cc,
+        "asof_view_before_click": q_asof_view_before_click,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "hashed_bow_features": q_hashed_bow_features,
+        "tpch_top_orders": q_tpch_top_orders,
+        "tpch_regional_revenue": q_tpch_regional_revenue,
+        "range_click_near_error": q_range_click_near_error,
+        "simhash_pairs": q_simhash_pairs,
+        "substring_pairs": q_substring_pairs,
+        "substring_winnowed_pairs": q_substring_winnowed_pairs,
+        "boilerplate_strip": q_boilerplate_strip,
+        "embedding_neardup": q_embedding_neardup,
+        "validation_conflicts": q_validation_conflicts,
+        "exact_dedup_survivors": q_exact_dedup_survivors,
+        "multimodal_meta": q_multimodal_meta,
+        "prefix_filter": q_prefix_filter,
+        "pair_expansion": q_pair_expansion,
+        "mode_token": q_mode_token,
+        "sampled_signatures": q_sampled_signatures,
+        "signatures_basic": q_signatures_basic,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     sw = {lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in STOPWORDS.items()}
