@@ -320,31 +320,66 @@ def image_ahash(media: DataFrame, size: int = 8) -> DataFrame:
     lands in the most significant of the ``size*size`` used bits; 64-bit
     signed wraparound applies at size 8 (identical in both engines).
 
-    Only the decode/resize runs in Python (mapInPandas via
-    image_thumbnails); the mean, threshold, and packing are pure codegen
-    over the thumb array.  Decode failures stay error VALUES (null hash).
+    Decode, resize, mean, threshold and packing run FUSED in one
+    mapInPandas pass (guide §1.2/§4.2 — the r5 shape shipped the thumb
+    arrays back to the JVM only to fold them through two interpreted
+    higher-order aggregates per row).  Bit-for-bit identical to the r5
+    output, pinned by the committed fixture (tests/test_ahash_oracle.py):
+    the thumb value domain is float32 (the former Arrow array<float>),
+    the mean is the same LEFT-FOLD double sum the JVM aggregate ran
+    (a naive per-element Python loop — numpy's pairwise/unrolled
+    summation rounds differently and is deliberately NOT used), the
+    comparison promotes float32 -> double exactly like element_at >
+    mean, and the pack is the same 64-bit-wrapping MSB-first shift fold.
+    Decode failures stay error VALUES (null hash).
     """
     n = size * size
     if n > 64:
         raise ValueError(f"image_ahash: size*size must fit 64 bits, got {n}")
-    th = image_thumbnails(media, size=size)
-    total = F.aggregate("thumb", F.lit(0.0), lambda a, x: a + x)
-    mean = total / F.lit(float(n))
-    idx = F.sequence(F.lit(1), F.lit(n))  # element_at is 1-based
-    packed = F.aggregate(
-        idx,
-        F.lit(0).cast("long"),
-        # shiftleft, not acc*2: the multiply overflow-checks under ANSI
-        # mode when bit 63 arrives; the shift wraps bitwise (the fixture's
-        # mask-to-64-bits semantics).  The +bit can never overflow: a
-        # shifted value always has LSB 0.
-        lambda acc, i: F.shiftleft(acc, 1)
-        + F.when(F.element_at(F.col("thumb"), i) > mean, 1).otherwise(0),
-    )
-    return th.select(
-        "media_id",
-        F.when(F.col("error").isNull(), packed).alias("ahash"),
-        "error",
+    dec = RealDecoder()
+    id_type = media.schema["media_id"].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            hashes: list = []
+            errs: list = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                try:
+                    img, _h, _w = dec.decode_image(
+                        None if payload is None else bytes(payload)
+                    )
+                    thumb = (
+                        _resize_gray(img, size).reshape(-1).astype(np.float32)
+                    )
+                except ValueError as exc:
+                    hashes.append(None)
+                    errs.append(str(exc))
+                    continue
+                total = 0.0
+                for x in thumb:  # sequential left fold == the JVM aggregate
+                    total += float(x)
+                mean = total / float(n)
+                acc = 0
+                for x in thumb:
+                    acc = ((acc << 1) & 0xFFFFFFFFFFFFFFFF) | (
+                        1 if float(x) > mean else 0
+                    )
+                hashes.append(acc - (1 << 64) if acc >= (1 << 63) else acc)
+                errs.append(None)
+            # dtype=object: a plain list of ints + None would coerce the
+            # column to float64 and silently round hashes beyond 2^53
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "ahash": pd.Series(hashes, dtype="object"),
+                    "error": errs,
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema=f"media_id {id_type}, ahash long, error string"
     )
 
 
@@ -432,7 +467,15 @@ def audio_fingerprint(
                 raw = int.from_bytes(np.packbits(bits).tobytes(), "big")
                 fps.append(raw - (1 << 64) if raw >= (1 << 63) else raw)
                 errs.append(None)
-            yield pd.DataFrame({"media_id": ids, "audio_fp": fps, "error": errs})
+            # dtype=object: a plain list of ints + None would coerce the
+            # column to float64 and silently round hashes beyond 2^53
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "audio_fp": pd.Series(fps, dtype="object"),
+                    "error": errs,
+                }
+            )
 
     return media.mapInPandas(
         run, schema=f"media_id {id_type}, audio_fp long, error string"
