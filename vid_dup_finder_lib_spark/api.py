@@ -52,8 +52,17 @@ def resolve_signature_unit(
     majority of (sampled) docs are space-free.
 
     Deterministic and partitioning-invariant: the sample keys on
-    ``xxhash64(text) % sample_mod == 0`` — content, not row placement —
-    and the vote is the integer space-free rule from
+    ``xxhash64(text) % sample_mod == 0`` — content, not row placement.
+    Known, accepted bias (ADVICE r5): because the key is the CONTENT,
+    all copies of an identical document sample all-or-nothing, so on
+    duplicate-heavy corpora a hot page votes with its full multiplicity
+    or not at all.  That is deliberate here: the probe must give one
+    answer for one corpus regardless of row ids/ordering (id-keyed
+    sampling would let two loads of the same corpus with different
+    surrogate ids disagree), and the space-free vote is a coarse
+    majority where the occasional multiplicity skew does not flip
+    corpora that aren't already near the boundary.  The vote itself is
+    the integer space-free rule from
     :func:`functions.textstats.script_profile_components` (fewer than one
     space per 20 chars; empty docs never vote char).  If the sample
     catches zero docs (corpus smaller than ~``sample_mod``), the probe

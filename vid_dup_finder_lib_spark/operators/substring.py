@@ -577,20 +577,20 @@ def duplicate_span_rewrite(
         F.lit(0).cast("long"),
         lambda acc, iv: acc + iv["e"] - iv["s"] + F.lit(1),
     )
-    return (
-        merged.select(
-            F.col("__id").alias(id_col),
-            "n_tokens",
-            removed.alias("removed_tokens"),
-            F.array_join(kept, " ").alias("kept_text"),
-        )
-        .selectExpr(
-            id_col,
-            "n_tokens",
-            "removed_tokens",
-            "kept_text",
-            "cast((removed_tokens * 1000000) div greatest(n_tokens, 1) as long) as removed_ppm",
-        )
+    # removed_ppm via F.expr over the FIXED internal columns and the id
+    # projected with F.col: interpolating id_col into selectExpr broke on
+    # names needing backticks (space/hyphen/dot) even though the rest of
+    # the operator handles arbitrary names (ADVICE r5)
+    return merged.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        removed.alias("removed_tokens"),
+        F.array_join(kept, " ").alias("kept_text"),
+    ).withColumn(
+        "removed_ppm",
+        F.expr(
+            "cast((removed_tokens * 1000000) div greatest(n_tokens, 1) as long)"
+        ),
     )
 
 
