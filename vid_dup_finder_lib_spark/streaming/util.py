@@ -18,6 +18,13 @@ shuffle width) — data-adaptive, no core-count constant.  The conf swap in
 ``state_partition_conf`` is scoped: the runner starts AND awaits the
 query inside the context, so the recorded checkpoint value is the sized
 one and the session conf is restored before control returns.
+
+Concurrency caveat: ``spark.sql.shuffle.partitions`` is session-global,
+so two runners entering the context CONCURRENTLY from driver threads
+could observe each other's override.  The library's runners are
+synchronous (start + await inside the scope); callers launching several
+sized streaming jobs in parallel should serialize the starts or use
+separate sessions.
 """
 
 from __future__ import annotations
