@@ -147,44 +147,30 @@ def candidate_pairs(
     """
     if overcap not in ("quarantine", "sample"):
         raise ValueError(f"unknown overcap policy {overcap!r}")
+    from pyspark.sql.window import Window
+
     min_band_collisions = cfg.min_band_collisions
     keys = band_keys(signatures, cfg)
 
-    # bucket sizing runs ONCE: only the over-cap rows survive (tiny by
-    # definition — they are the skew outliers) and are materialized, so the
-    # three consumers (anti-join broadcast, hot semi-join broadcast,
-    # quarantine report) don't each replan the full band_keys scan +
-    # count aggregation (the physical plan used to carry three copies of
-    # that subtree).  Cost: one eager job here; the full-size table is
-    # never retained.
+    # bucket sizing rides the SAME shuffle the bucket self-join needs
+    # (guide §2.4): a count window partitioned by (band_id, band_hash)
+    # attaches each member's bucket size after ONE exchange, and every
+    # tier becomes a filter on that column — no separate eager stats job,
+    # no broadcast anti/semi-joins, no action inside this function at all
+    # (the r5 shape ran a checkpointed count aggregation plus three
+    # broadcast joins; measured ~1 s per chain query at sf0.1).  The
+    # window's required clustering equals the join key, so Catalyst plans
+    # one exchange for both and reuses it across the tier branches;
+    # WindowExec buffers one bucket group at a time and SPILLS above the
+    # window buffer threshold, so a mega bucket degrades to disk instead
+    # of an OOM (unlike a collect_list aggregation, which was the rejected
+    # fusion).  Tier semantics and the emitted (band, pair) multiset are
+    # unchanged.
     hard_cap = cfg.max_bucket_size * salt_groups * salt_groups
-    over = (
-        keys.groupBy("band_id", "band_hash")
-        .agg(F.count(F.lit(1)).alias("bucket_size"))
-        .where(F.col("bucket_size") > cfg.max_bucket_size)
-        .localCheckpoint(eager=True)
-    )
-    quarantined = over.where(F.col("bucket_size") > hard_cap)
-    hot = over.where(F.col("bucket_size") <= hard_cap)
+    w = Window.partitionBy("band_id", "band_hash")
+    sized = keys.withColumn("bs", F.count(F.lit(1)).over(w))
 
-    # tier dispatch on the MEASURED over-cap table (already materialized,
-    # so this probe is a take(1) on a tiny checkpoint, not a re-count):
-    # with no over-cap bucket — the common case on boilerplate-stripped
-    # corpora — the anti-join, the salted block-pairing subplan and the
-    # union are identity/empty stages bought for nothing (guide §2.4:
-    # remove shuffles outright).  Skew-bearing corpora take the 3-tier
-    # plan exactly as before; the dispatch is data-adaptive, not a
-    # local-mode shortcut, and the emitted pair multiset is identical.
-    has_over = len(over.take(1)) > 0
-
-    if has_over:
-        ok_keys = keys.join(
-            F.broadcast(over.select("band_id", "band_hash")),
-            ["band_id", "band_hash"],
-            "left_anti",
-        )
-    else:
-        ok_keys = keys
+    ok_keys = sized.where(F.col("bs") <= cfg.max_bucket_size)
     a = ok_keys.select("band_id", "band_hash", F.col("id").alias("id1"))
     b = ok_keys.select("band_id", "band_hash", F.col("id").alias("id2"))
     plain = (
@@ -193,33 +179,42 @@ def candidate_pairs(
         .select("id1", "id2")
     )
 
-    if has_over:
-        hot_keys = keys.join(
-            F.broadcast(hot.select("band_id", "band_hash")), ["band_id", "band_hash"], "left_semi"
-        )
-        salted = _salted_pairs(hot_keys, salt_groups).select("id1", "id2")
-        pairs = plain.unionByName(salted)
-    else:
-        pairs = plain
-    if overcap == "sample" and has_over:
+    hot_keys = sized.where(
+        (F.col("bs") > cfg.max_bucket_size) & (F.col("bs") <= hard_cap)
+    ).select("band_id", "band_hash", "id")
+    salted = _salted_pairs(hot_keys, salt_groups).select("id1", "id2")
+    pairs = plain.unionByName(salted)
+
+    if overcap == "sample":
         # deterministic hash-threshold sampling: keep a member with
-        # probability max_bucket_size/bucket_size — a filter, not a sort, so
-        # no task ever holds a full over-cap bucket
+        # probability max_bucket_size/bucket_size — a filter on the sized
+        # rows (bs is already attached), so no task ever holds a full
+        # over-cap bucket
         scale = 1_000_000
-        q_keys = keys.join(
-            F.broadcast(quarantined.select("band_id", "band_hash", "bucket_size")),
-            ["band_id", "band_hash"],
+        sampled_keys = (
+            sized.where(F.col("bs") > hard_cap)
+            .where(
+                F.pmod(
+                    F.xxhash64("id", F.lit("overcap-sample"), "band_hash"),
+                    F.lit(scale),
+                )
+                * F.col("bs")
+                < F.lit(cfg.max_bucket_size * scale)
+            )
+            .select("band_id", "band_hash", "id")
         )
-        sampled_keys = q_keys.where(
-            F.pmod(F.xxhash64("id", F.lit("overcap-sample"), "band_hash"), F.lit(scale))
-            * F.col("bucket_size")
-            < F.lit(cfg.max_bucket_size * scale)
-        ).select("band_id", "band_hash", "id")
         degraded = _salted_pairs(sampled_keys, salt_groups).select("id1", "id2")
         pairs = pairs.unionByName(degraded)
 
-    quarantined = quarantined.withColumn(
-        "policy", F.lit("sampled" if overcap == "sample" else "dropped")
+    # one row per over-hard-cap bucket; all members carry the same bs, so
+    # max() is exact (and the groupBy reuses the (band, hash) clustering)
+    quarantined = (
+        sized.where(F.col("bs") > hard_cap)
+        .groupBy("band_id", "band_hash")
+        .agg(F.max("bs").alias("bucket_size"))
+        .withColumn(
+            "policy", F.lit("sampled" if overcap == "sample" else "dropped")
+        )
     )
     if min_band_collisions > 1:
         pairs = (
